@@ -1,0 +1,79 @@
+"""SE(3) vertex/edge types (reference include/slam/SE3_Types.h).
+
+Conventions (verified):
+  * pose3d vertex state [t, axis-angle], ⊞ = right-compose (SE3_Types.h:46);
+  * pose-pose edge: h = relative_to(x0, x1); error translation = z_t - h_t,
+    rotation = log(q_z q_h^-1) (SE3_Types.h:265-290);
+  * pose-landmark edge: h = landmark in pose frame; r = z - h
+    (SE3_Types.h:569+);
+  * the reference's CEdgePose3D is declared Robust (Huber, a = 1.345,
+    fraction 30/100) but robust weighting is inert unless enabled; we mirror
+    with robust=True and a solver-level switch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slam_plus_plus_tpu.manifolds import se3
+from slam_plus_plus_tpu.models.types import edge_type, vertex_type
+
+POSE3D = vertex_type("pose3d", 6, 6, se3.boxplus, schur_class="pose")
+LANDMARK3D = vertex_type("landmark3d", 3, 3, lambda x, dx: x + dx,
+                         schur_class="landmark")
+
+
+def _pose3d_residual(states, z):
+    x0, x1 = states
+    h = se3.relative_to(x0, x1)
+    return se3.pose_error(z, h)
+
+
+def _np_se3_compose(p1, p2):
+    """Host-side numpy SE3 compose for vertex initialization."""
+    import slam_plus_plus_tpu.manifolds.se3 as m
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(m.compose(p1, p2))
+
+
+def _pose3d_init(states, z):
+    x0, x1 = states
+    if x0 is None:
+        x0 = np.zeros(6)
+    if x1 is None:
+        x1 = _np_se3_compose(np.asarray(x0, float), np.asarray(z, float))
+    return x0, x1
+
+
+def _pose3d_expectation(states):
+    x0, x1 = states
+    return se3.relative_to(x0, x1)
+
+
+EDGE_POSE3D = edge_type("edge_pose3d", ("pose3d", "pose3d"), 6, 6,
+                        _pose3d_residual, _pose3d_init, robust=True,
+                        expectation=_pose3d_expectation, error=se3.pose_error)
+
+
+def _lm3d_residual(states, z):
+    pose, lm = states
+    h = se3.landmark_in_frame(pose, lm)
+    return z - h
+
+
+def _lm3d_init(states, z):
+    pose, lm = states
+    if pose is None:
+        pose = np.zeros(6)
+    if lm is None:
+        import slam_plus_plus_tpu.manifolds.so3 as s
+        import jax
+        with jax.default_device(jax.devices("cpu")[0]):
+            q = s.axis_angle_to_quat(np.asarray(pose[3:], float))
+            lm = np.asarray(s.quat_rotate(q, np.asarray(z, float))) + pose[:3]
+    return pose, lm
+
+
+EDGE_POSE_LANDMARK3D = edge_type("edge_pose_landmark3d", ("pose3d", "landmark3d"),
+                                 3, 3, _lm3d_residual, _lm3d_init)
