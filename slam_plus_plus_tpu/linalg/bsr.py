@@ -31,7 +31,8 @@ def partitioned_to_scipy(pp_rows, pp_cols, pp_blocks, Np, Bp,
     pp holds only upper pairs (row <= col) and is symmetrized here.
     """
     rows, cols, vals = [], [], []
-    pp_blocks = np.asarray(pp_blocks)
+    # accept planar [K, Br*Bc] or 3D [K, Br, Bc] blocks
+    pp_blocks = np.asarray(pp_blocks).reshape(-1, Bp, Bp)
 
     r, c, v = _expand(pp_rows, pp_cols, pp_blocks, 0, 0, Bp, Bp)
     rows.append(r); cols.append(c); vals.append(v)
@@ -45,7 +46,7 @@ def partitioned_to_scipy(pp_rows, pp_cols, pp_blocks, Np, Bp,
     if Nl:
         l_off = Np * Bp
         if pl_rows is not None and len(pl_rows):
-            pl_blocks = np.asarray(pl_blocks)
+            pl_blocks = np.asarray(pl_blocks).reshape(-1, Bp, Bl)
             r, c, v = _expand(pl_rows, pl_cols, pl_blocks, 0, 0, Bp, Bl)
             c = c + l_off - 0  # column offset into landmark section
             # _expand used col ids pl_cols*Bl; add the landmark base offset

@@ -62,10 +62,9 @@ class GaussNewtonSolver:
                                (self.config.linear_solver == "auto" and
                                 n_scalar <= _DENSE_LIMIT)))
         if self._dense_direct:
-            self._pp_rows_dev = jnp.asarray(asm.pp_rows)
-            self._pp_cols_dev = jnp.asarray(asm.pp_cols)
+            # rows/cols stay host-side numpy: static scatter structure
             self._dense_solve_jit = jax.jit(
-                lambda sys_: solve_dense_spd(self._pp_rows_dev, self._pp_cols_dev,
+                lambda sys_: solve_dense_spd(asm.pp_rows, asm.pp_cols,
                                              sys_.pp_blocks, sys_.eta_p,
                                              asm.Np, asm.Bp))
 

@@ -35,12 +35,13 @@ from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
 
 def damp_system(system: BlockSystem, alpha, pp_diag_ids) -> BlockSystem:
     """lambda.diag += alpha (reference ApplyDamping,
-    NonlinearSolver_Lambda_LM.h:228-243)."""
-    Bp = system.pp_blocks.shape[-1]
-    Bl = system.ll_blocks.shape[-1]
-    eye_p = jnp.eye(Bp, dtype=system.pp_blocks.dtype) * alpha
-    pp = system.pp_blocks.at[pp_diag_ids].add(eye_p)
-    ll = system.ll_blocks + jnp.eye(Bl, dtype=system.ll_blocks.dtype) * alpha
+    NonlinearSolver_Lambda_LM.h:228-243).  Blocks are planar [K, B*B]."""
+    Bp = int(round(system.pp_blocks.shape[-1] ** 0.5))
+    Bl = int(round(system.ll_blocks.shape[-1] ** 0.5))
+    p_diag_cols = [i * Bp + i for i in range(Bp)]
+    l_diag_cols = [i * Bl + i for i in range(Bl)]
+    pp = system.pp_blocks.at[pp_diag_ids[:, None], p_diag_cols].add(alpha)
+    ll = system.ll_blocks.at[:, l_diag_cols].add(alpha)
     return system._replace(pp_blocks=pp, ll_blocks=ll)
 
 
