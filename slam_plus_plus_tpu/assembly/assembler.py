@@ -455,6 +455,56 @@ class Assembler:
             states, edge_data)
         return self._finalize(pp, pl, ll, eta_p, eta_l, chi2, max_hdiag)
 
+    # ---- active-prefix (incremental) variants -------------------------
+    #
+    # The incremental engine replays a growing graph against the FULL
+    # symbolic structure with *active-count masking*: edges beyond the
+    # active prefix get zero information (contributing exactly nothing),
+    # inactive vertices get unit diagonal pivots (dx = 0).  The counts are
+    # traced scalars, so the entire incremental run reuses ONE compiled
+    # step — the TPU answer to the reference's incremental allocation
+    # (Extend_Lambda, reference include/slam/NonlinearSolver_Lambda_Base.h).
+
+    def _mask_edge_data(self, edge_data, counts):
+        masked = {}
+        for plan in self.plans:
+            d = dict(edge_data[plan.name])
+            mask = (jnp.arange(plan.E) < counts[plan.name]).astype(self.dtype)
+            d["info"] = d["info"] * mask[:, None, None]
+            masked[plan.name] = d
+        return masked
+
+    def _assemble_active_impl(self, states, edge_data, counts,
+                              n_active_p, n_active_l) -> BlockSystem:
+        sums = self._edge_sums(states, self._mask_edge_data(edge_data, counts))
+        bs = self._finalize(*sums)
+        Bp, Bl = self.Bp, self.Bl
+        p_diag_cols = [i * Bp + i for i in range(Bp)]
+        inactive_p = (jnp.arange(self.Np if self.Np else 1) >=
+                      n_active_p).astype(self.dtype)
+        pp = bs.pp_blocks.at[self.pp_diag_ids_dev[:, None], p_diag_cols].add(
+            inactive_p[:, None] * self.p_mask_dev)
+        ll = bs.ll_blocks
+        if self.Nl:
+            l_diag_cols = [i * Bl + i for i in range(Bl)]
+            inactive_l = (jnp.arange(self.Nl) >= n_active_l).astype(self.dtype)
+            ll = ll.at[:, l_diag_cols].add(inactive_l[:, None] * self.l_mask_dev)
+        return bs._replace(pp_blocks=pp, ll_blocks=ll)
+
+    def _chi2_active_impl(self, states, edge_data, counts):
+        return self._chi2_impl(states, self._mask_edge_data(edge_data, counts))
+
+    def assemble_active(self, states, counts, n_active_p, n_active_l):
+        if not hasattr(self, "_assemble_active_jit"):
+            self._assemble_active_jit = jax.jit(self._assemble_active_impl)
+        return self._assemble_active_jit(states, self.edge_data, counts,
+                                         n_active_p, n_active_l)
+
+    def chi2_active(self, states, counts):
+        if not hasattr(self, "_chi2_active_jit"):
+            self._chi2_active_jit = jax.jit(self._chi2_active_impl)
+        return self._chi2_active_jit(states, self.edge_data, counts)
+
     def _finalize(self, pp, pl, ll, eta_p, eta_l, chi2, max_hdiag) -> BlockSystem:
         Bp, Bl = self.Bp, self.Bl
         p_diag_cols = [i * Bp + i for i in range(Bp)]

@@ -71,7 +71,12 @@ def make_manhattan_2d(n_poses=600, step=1.0, trans_noise=0.05, rot_noise=0.02,
 
 
 def write_g2o_2d(path, edges, poses=None):
-    """Write a SLAM++-dialect 2D file (EDGE2 with upper-tri info)."""
+    """Write a SLAM++-dialect 2D file (EDGE2 with upper-tri info).
+
+    Edges are written in chronological order (sorted by max vertex id) so
+    loop closures interleave with odometry — required for incremental
+    replay to behave like the real datasets."""
+    edges = sorted(edges, key=lambda e: max(e[0], e[1]))
     with open(path, "w") as f:
         if poses is not None:
             for i, p in enumerate(poses):
@@ -181,7 +186,9 @@ def _aa_to_rpy(aa):
 
 def write_g2o_3d(path, edges, poses=None):
     """Write EDGE3:AXISANGLE dialect (upper-tri 6x6 info); VERTEX3 rotation
-    is written as RPY per the reference's parse convention."""
+    is written as RPY per the reference's parse convention.  Edges are
+    chronological (sorted by max vertex id) for incremental replay."""
+    edges = sorted(edges, key=lambda e: max(e[0], e[1]))
     with open(path, "w") as f:
         if poses is not None:
             for i, p in enumerate(poses):

@@ -44,8 +44,16 @@ def _pose2d_init(states, z):
     return x0, x1
 
 
+def _pose2d_jax_init(states, z, slot):
+    """On-device activation init: new pose composed from the other end."""
+    if slot == 0:
+        return jnp.zeros(3, dtype=z.dtype)
+    return se2.compose(states[0], z)
+
+
 EDGE_POSE2D = edge_type("edge_pose2d", ("pose2d", "pose2d"), 3, 3,
-                        _pose2d_residual, _pose2d_init)
+                        _pose2d_residual, _pose2d_init,
+                        jax_initializer=_pose2d_jax_init)
 
 
 def _rb_residual(states, z):
@@ -71,8 +79,18 @@ def _rb_init(states, z):
     return pose, lm
 
 
+def _rb_jax_init(states, z, slot):
+    if slot == 0:
+        return jnp.zeros(3, dtype=z.dtype)
+    pose = states[0]
+    ang = pose[2] + z[1]
+    return jnp.stack([pose[0] + z[0] * jnp.cos(ang),
+                      pose[1] + z[0] * jnp.sin(ang)])
+
+
 EDGE_POSE_LANDMARK2D = edge_type("edge_pose_landmark2d", ("pose2d", "landmark2d"),
-                                 2, 2, _rb_residual, _rb_init)
+                                 2, 2, _rb_residual, _rb_init,
+                                 jax_initializer=_rb_jax_init)
 
 
 def xy_measurement_to_polar(xy: np.ndarray):

@@ -51,9 +51,17 @@ def _pose3d_expectation(states):
     return se3.relative_to(x0, x1)
 
 
+def _pose3d_jax_init(states, z, slot):
+    import jax.numpy as jnp
+    if slot == 0:
+        return jnp.zeros(6, dtype=z.dtype)
+    return se3.compose(states[0], z)
+
+
 EDGE_POSE3D = edge_type("edge_pose3d", ("pose3d", "pose3d"), 6, 6,
                         _pose3d_residual, _pose3d_init, robust=True,
-                        expectation=_pose3d_expectation, error=se3.pose_error)
+                        expectation=_pose3d_expectation, error=se3.pose_error,
+                        jax_initializer=_pose3d_jax_init)
 
 
 def _lm3d_residual(states, z):
@@ -75,5 +83,16 @@ def _lm3d_init(states, z):
     return pose, lm
 
 
+def _lm3d_jax_init(states, z, slot):
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.manifolds import so3 as _so3
+    if slot == 0:
+        return jnp.zeros(6, dtype=z.dtype)
+    pose = states[0]
+    q = _so3.axis_angle_to_quat(pose[3:])
+    return _so3.quat_rotate(q, z) + pose[:3]
+
+
 EDGE_POSE_LANDMARK3D = edge_type("edge_pose_landmark3d", ("pose3d", "landmark3d"),
-                                 3, 3, _lm3d_residual, _lm3d_init)
+                                 3, 3, _lm3d_residual, _lm3d_init,
+                                 jax_initializer=_lm3d_jax_init)

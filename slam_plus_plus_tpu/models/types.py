@@ -66,6 +66,10 @@ class EdgeType:
     # convergence, and the split form is required for iterate-level parity.
     expectation: Optional[Callable] = None
     error: Optional[Callable] = None
+    # JAX version of the initializer for on-device vertex activation during
+    # incremental replay: (states_tuple, z, slot) -> state for `slot`.
+    # None = initialize from the parsed file state (BA vertices).
+    jax_initializer: Optional[Callable] = None
 
     @property
     def arity(self) -> int:
@@ -84,8 +88,10 @@ def edge_type(name: str, vertex_types: Sequence[str], residual_dim: int,
               initializer: Optional[Callable] = None,
               robust: bool = False,
               expectation: Optional[Callable] = None,
-              error: Optional[Callable] = None) -> EdgeType:
+              error: Optional[Callable] = None,
+              jax_initializer: Optional[Callable] = None) -> EdgeType:
     et = EdgeType(name, tuple(vertex_types), residual_dim, measurement_dim,
-                  residual, initializer, robust, expectation, error)
+                  residual, initializer, robust, expectation, error,
+                  jax_initializer)
     EDGE_TYPES[name] = et
     return et
