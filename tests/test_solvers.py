@@ -1,0 +1,92 @@
+"""Solver-suite tests: dogleg, A solver, spmv."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import slam_plus_plus_tpu.models  # noqa: F401
+from slam_plus_plus_tpu.assembly.assembler import Assembler
+from slam_plus_plus_tpu.io import datasets
+from slam_plus_plus_tpu.io.parser import parse_g2o
+from slam_plus_plus_tpu.linalg.bsr import partitioned_to_scipy
+from slam_plus_plus_tpu.linalg.spmv import lambda_spmv
+from slam_plus_plus_tpu.solvers.a_solver import ASolver
+from slam_plus_plus_tpu.solvers.dogleg import DoglegSolver
+
+
+@pytest.fixture(scope="module")
+def man_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("s") / "man.txt"
+    poses, edges = datasets.make_manhattan_2d(n_poses=150, seed=17)
+    datasets.write_g2o_2d(str(p), edges, poses)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def ba_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("s") / "ba.txt"
+    cams, pts, obs = datasets.make_ba_scene(n_cams=8, n_points=120, seed=18)
+    datasets.write_g2o_ba(str(p), cams, pts, obs)
+    return str(p)
+
+
+def test_spmv_matches_scipy(man_file):
+    system = parse_g2o(man_file)
+    asm = Assembler(system)
+    bs = asm.assemble(asm.snapshot_states(system))
+    rng = np.random.default_rng(0)
+    v_p = jnp.asarray(rng.normal(0, 1, (asm.Np, asm.Bp)))
+    v_l = jnp.zeros((max(asm.Nl, 1), asm.Bl))
+    out_p, _ = lambda_spmv(asm, bs, v_p, v_l)
+    A = partitioned_to_scipy(asm.pp_rows, asm.pp_cols,
+                             np.asarray(bs.pp_blocks), asm.Np, asm.Bp)
+    ref = (A @ np.asarray(v_p).ravel()).reshape(asm.Np, asm.Bp)
+    assert np.abs(np.asarray(out_p) - ref).max() < 1e-8 * np.abs(ref).max()
+
+
+def test_spmv_matches_scipy_schur(ba_file):
+    system = parse_g2o(ba_file)
+    asm = Assembler(system)
+    bs = asm.assemble(asm.snapshot_states(system))
+    rng = np.random.default_rng(1)
+    v_p = jnp.asarray(rng.normal(0, 1, (asm.Np, asm.Bp)))
+    v_l = jnp.asarray(rng.normal(0, 1, (asm.Nl, asm.Bl)))
+    out_p, out_l = lambda_spmv(asm, bs, v_p, v_l)
+    A = partitioned_to_scipy(
+        asm.pp_rows, asm.pp_cols, np.asarray(bs.pp_blocks), asm.Np, asm.Bp,
+        asm.pl_rows, asm.pl_cols, np.asarray(bs.pl_blocks),
+        np.asarray(bs.ll_blocks), asm.Nl, asm.Bl)
+    v = np.concatenate([np.asarray(v_p).ravel(), np.asarray(v_l).ravel()])
+    ref = A @ v
+    out = np.concatenate([np.asarray(out_p).ravel(), np.asarray(out_l).ravel()])
+    assert np.abs(out - ref).max() < 1e-8 * np.abs(ref).max()
+
+
+def test_dogleg_manhattan(man_file):
+    system = parse_g2o(man_file)
+    dl = DoglegSolver(system)
+    chi2, iters = dl.optimize(10)
+    # must reach the GN fixed point
+    from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+    system2 = parse_g2o(man_file)
+    gn_chi2, _ = GaussNewtonSolver(system2).optimize(5)
+    assert chi2 <= gn_chi2 * 1.01
+
+
+def test_dogleg_ba(ba_file):
+    system = parse_g2o(ba_file)
+    chi2, iters = DoglegSolver(system).optimize(30)
+    from slam_plus_plus_tpu.solvers.lm import LevenbergMarquardtSolver
+    system2 = parse_g2o(ba_file)
+    lm_chi2, _ = LevenbergMarquardtSolver(system2).optimize(10)
+    assert chi2 <= lm_chi2 * 1.05
+
+
+def test_a_solver(man_file):
+    system = parse_g2o(man_file)
+    chi2, iters = ASolver(system).optimize(5)
+    from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+    system2 = parse_g2o(man_file)
+    gn_chi2, _ = GaussNewtonSolver(system2).optimize(5)
+    assert abs(chi2 - gn_chi2) < 1e-6 * max(gn_chi2, 1.0)
