@@ -345,3 +345,176 @@ def write_g2o_ba(path, cams, points, obs, point_noise=0.05, seed=1):
         for (pid, cid, u, v) in obs:
             f.write(f"EDGE_PROJECT_P2MC {n_cams + pid} {cid} {u:.10f} {v:.10f} "
                     f"1 0 1\n")
+
+
+def write_g2o_ba_stereo(path, cams, points, obs, baseline=0.1,
+                        point_noise=0.05, seed=1):
+    """VERTEX_SCAM / VERTEX_XYZ / EDGE_PROJECT_P2SC file.
+
+    obs entries are (point_id, cam_id, u_l, v_l, u_r)."""
+    rng = np.random.default_rng(seed)
+    n_cams = len(cams)
+    with open(path, "w") as f:
+        for c, (pos, q, fx, fy, cx, cy, d) in enumerate(cams):
+            f.write(f"VERTEX_SCAM {c} " +
+                    " ".join(f"{v:.10f}" for v in pos) + " " +
+                    " ".join(f"{v:.10f}" for v in q) +
+                    f" {fx} {fy} {cx} {cy} {d} {baseline}\n")
+        for p, pt in enumerate(points):
+            noisy = pt + rng.normal(0, point_noise, 3)
+            f.write(f"VERTEX_XYZ {n_cams + p} " +
+                    " ".join(f"{v:.10f}" for v in noisy) + "\n")
+        for (pid, cid, ul, vl, ur) in obs:
+            f.write(f"EDGE_PROJECT_P2SC {n_cams + pid} {cid} "
+                    f"{ul:.10f} {vl:.10f} {ur:.10f} 1 0 0 1 0 1\n")
+
+
+def make_ba_stereo_obs(cams, points, baseline=0.1, noise_px=0.3, seed=0):
+    """Stereo observations (u_l, v_l, u_r) for make_ba_scene-style cameras."""
+    rng = np.random.default_rng(seed)
+    obs = []
+    for c, (pos, q, fx, fy, cx, cy, d) in enumerate(cams):
+        qx, qy, qz, qw = q
+        # world->cam rotation = conj of cam->world quat
+        R = _quat_to_R(qw, qx, qy, qz).T
+        for pid, pt in enumerate(points):
+            pc = R @ (pt - pos)
+            if pc[2] < 0.5:
+                continue
+            u = fx * pc[0] / pc[2] + cx
+            v = fy * pc[1] / pc[2] + cy
+            # right camera: world point shifted by -b along cam x-axis
+            pc_r = R @ (pt - baseline * R.T[:, 0] - pos)
+            ur = fx * pc_r[0] / pc_r[2] + cx
+            if 0 <= u < 2 * cx and 0 <= v < 2 * cy and rng.random() < 0.6:
+                obs.append((pid, c, u + rng.normal(0, noise_px),
+                            v + rng.normal(0, noise_px),
+                            ur + rng.normal(0, noise_px)))
+    return obs
+
+
+def _quat_to_R(w, x, y, z):
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def write_g2o_ba_intrinsics(path, cams, points, obs, point_noise=0.05, seed=1):
+    """VERTEX_CAM + VERTEX_INTRINSICS + EDGE_PROJECT_P2MCI file: all cameras
+    share intrinsics vertex (the common BAI layout)."""
+    rng = np.random.default_rng(seed)
+    n_cams = len(cams)
+    fx, fy, cx, cy, d = cams[0][2], cams[0][3], cams[0][4], cams[0][5], cams[0][6]
+    with open(path, "w") as f:
+        for c, (pos, q, *_rest) in enumerate(cams):
+            f.write(f"VERTEX_CAM {c} " +
+                    " ".join(f"{v:.10f}" for v in pos) + " " +
+                    " ".join(f"{v:.10f}" for v in q) +
+                    f" {fx} {fy} {cx} {cy} {d}\n")
+        intr_id = n_cams
+        f.write(f"VERTEX_INTRINSICS {intr_id} {fx} {fy} {cx} {cy} {d}\n")
+        for p, pt in enumerate(points):
+            noisy = pt + rng.normal(0, point_noise, 3)
+            f.write(f"VERTEX_XYZ {intr_id + 1 + p} " +
+                    " ".join(f"{v:.10f}" for v in noisy) + "\n")
+        for (pid, cid, u, v) in obs:
+            f.write(f"EDGE_PROJECT_P2MCI {intr_id + 1 + pid} {cid} {intr_id} "
+                    f"{u:.10f} {v:.10f} 1 0 1\n")
+
+
+def make_spheron_scene(n_poses=15, n_points=200, noise=0.01, seed=0):
+    """Spherical-camera scene: poses on a line observing a point cloud; the
+    spheron edge measures the landmark in the camera frame (XYZ)."""
+    rng = np.random.default_rng(seed)
+    points = rng.uniform(-4, 4, (n_points, 3)) + np.array([0, 0, 5.0])
+    poses = []   # (pos, quat_xyzw) world pose
+    obs = []     # (point_id, pose_id, xyz_local)
+    for i in range(n_poses):
+        pos = np.array([0.4 * i, 0.1 * np.sin(i), 0.0])
+        q = np.array([0.0, 0.0, np.sin(0.02 * i), np.cos(0.02 * i)])  # yaw
+        poses.append((pos, q))
+        R = _quat_to_R(q[3], q[0], q[1], q[2]).T  # world->cam
+        for pid in range(n_points):
+            local = R @ (points[pid] - pos)
+            if np.linalg.norm(local) < 12.0 and rng.random() < 0.5:
+                obs.append((pid, i, local + rng.normal(0, noise, 3)))
+    return poses, points, obs
+
+
+def write_g2o_spheron(path, poses, points, obs, point_noise=0.05, seed=1):
+    """Spheron dialect: NO VERTEX_XYZ lines — the reference dispatches files
+    containing VERTEX_XYZ to the BA solver (peeker b_has_ba), so spheron
+    datasets initialize points from the observation edges.  Edges are written
+    in incremental vertex order (first use of each point id introduces it)."""
+    n_poses = len(poses)
+    # order observations so each point id first appears in increasing order
+    first_obs = {}
+    for k, (pid, i, xyz) in enumerate(obs):
+        first_obs.setdefault(pid, k)
+    order = sorted(range(len(obs)),
+                   key=lambda k: (max(obs[k][1], n_poses + obs[k][0]), k))
+    with open(path, "w") as f:
+        for i, (pos, q) in enumerate(poses):
+            f.write(f"VERTEX_SPHERON:QUAT {i} " +
+                    " ".join(f"{v:.10f}" for v in pos) + " " +
+                    " ".join(f"{v:.10f}" for v in q) + "\n")
+        for k in order:
+            (pid, i, xyz) = obs[k]
+            f.write(f"EDGE_SPHERON_XYZ {n_poses + pid} {i} " +
+                    " ".join(f"{v:.10f}" for v in xyz) +
+                    " 1 0 0 1 0 1\n")
+
+
+def make_rocv_scene(n_steps=100, n_transmitters=6, range_noise=0.02,
+                    world=10.0, seed=0):
+    """Range-only constant-velocity tracking scene: one receiver moving with
+    piecewise-constant velocity, ranged against fixed transmitters."""
+    rng = np.random.default_rng(seed)
+    tx = rng.uniform(-world, world, (n_transmitters, 3))
+    pos = np.zeros(3)
+    vel = np.array([0.5, 0.3, 0.0])
+    dt = 0.5
+    traj = []
+    for k in range(n_steps):
+        if k % 20 == 10:
+            vel = vel + rng.normal(0, 0.1, 3)
+        pos = pos + dt * vel
+        traj.append((pos.copy(), vel.copy()))
+    ranges = []
+    for k, (p, v) in enumerate(traj):
+        for t in range(n_transmitters):
+            if rng.random() < 0.7:
+                r = np.linalg.norm(p - tx[t]) + rng.normal(0, range_noise)
+                ranges.append((k, t, r))
+    return tx, traj, ranges, dt
+
+
+def write_g2o_rocv(path, tx, traj, ranges, dt, cv_info=100.0,
+                   range_info=2500.0, prior_info=1e6):
+    """ROCV:* dialect file."""
+    n_steps = len(traj)
+    with open(path, "w") as f:
+        # receiver vertices first (ids 0..n-1), transmitters after
+        for k, (p, v) in enumerate(traj):
+            vals = np.concatenate([p, v])
+            f.write(f"ROCV:RECEIVER {k} " +
+                    " ".join(f"{x:.10f}" for x in vals) + "\n")
+        for t in range(len(tx)):
+            f.write(f"ROCV:TRANSMITTER {n_steps + t} " +
+                    " ".join(f"{x:.10f}" for x in tx[t]) + " 0 0 0\n")
+            sq = np.sqrt(prior_info)
+            f.write(f"ROCV:TRANSMITTER_UF {n_steps + t} "
+                    f"{sq} 0 0 {sq} 0 {sq}\n")
+        ut6 = []
+        info6 = np.eye(6) * cv_info
+        for a in range(6):
+            for b in range(a, 6):
+                ut6.append(f"{info6[a, b]}")
+        for k in range(1, n_steps):
+            f.write(f"ROCV:DELTA_TIME {k - 1} {k} {dt} " + " ".join(ut6) + "\n")
+        for (k, t, r) in ranges:
+            f.write(f"ROCV:RANGE {k} {n_steps + t} {r:.10f} {range_info}\n")

@@ -303,11 +303,13 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 pos = np.array([float(v) for v in vals[1:4]])
                 qx, qy, qz, qw = (float(vals[4]), float(vals[5]),
                                   float(vals[6]), float(vals[7]))
-                fx, fy, cx, cy, b = (float(vals[8]), float(vals[9]),
-                                     float(vals[10]), float(vals[11]), float(vals[12]))
+                fx, fy, cx, cy, d, b = (float(vals[8]), float(vals[9]),
+                                        float(vals[10]), float(vals[11]),
+                                        float(vals[12]), float(vals[13]))
                 pose = _invert_cam_pose(pos, qx, qy, qz, qw)
-                # stereo: no distortion slot in the file; d = 0, baseline last
-                state = np.concatenate([pose, [fx, fy, cx, cy, 0.0, b]])
+                # d is scaled by the mean focal like the mono path
+                state = np.concatenate([pose,
+                                        [fx, fy, cx, cy, d * 0.5 * (fx + fy), b]])
                 system.add_vertex(vid, "scam", state)
                 stats.vertices += 1
             elif tok == "VERTEX_INTRINSICS":
@@ -356,6 +358,46 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 z = np.array([float(vals[2]), float(vals[3]), float(vals[4])])
                 info = _sym_from_upper([float(v) for v in vals[5:11]], 3)
                 system.add_edge("edge_spheron_xyz", (cam, pt), z, info)
+                stats.edges += 1
+                if on_edge:
+                    on_edge(system)
+            elif tok == "ROCV:TRANSMITTER":
+                # landmark (transmitter) position; reference parses 6 values
+                # (TVertex3D) but the landmark holds the first 3
+                stats.vertices += 1
+                vid = int(vals[0])
+                system.add_vertex(vid, "landmark3d",
+                                  np.array([float(v) for v in vals[1:4]]))
+            elif tok == "ROCV:TRANSMITTER_UF":
+                # unary anchor on the transmitter: the parsed factor IS the
+                # information ("elements are not square roots"), the edge has
+                # zero error/chi2 (reference CEdgeLandmark3DPrior,
+                # include/slam/ROCV_Types.h:251,280-312)
+                vid = int(vals[0])
+                F = _sym_from_upper([float(v) for v in vals[1:7]], 3)
+                system.add_edge("edge_landmark3d_prior", (vid,),
+                                np.zeros(3), F)
+                stats.edges += 1
+                if on_edge:
+                    on_edge(system)
+            elif tok in ("ROCV:RECEIVER", "ROCV:RECEIVER_GTFAKE"):
+                stats.vertices += 1
+                vid = int(vals[0])
+                system.add_vertex(vid, "pos_vel3d",
+                                  np.array([float(v) for v in vals[1:7]]))
+            elif tok == "ROCV:DELTA_TIME":
+                i, j = int(vals[0]), int(vals[1])
+                dt = np.array([float(vals[2])])
+                info = _sym_from_upper([float(v) for v in vals[3:24]], 6)
+                system.add_edge("edge_rocv_const_vel", (i, j), dt, info)
+                stats.edges += 1
+                if on_edge:
+                    on_edge(system)
+            elif tok == "ROCV:RANGE":
+                i, j = int(vals[0]), int(vals[1])
+                z = np.array([float(vals[2])])
+                info = np.array([[float(vals[3])]])
+                system.add_edge("edge_rocv_range", (i, j), z, info)
                 stats.edges += 1
                 if on_edge:
                     on_edge(system)

@@ -108,5 +108,29 @@ def _spheron_residual(states, z):
     return z - h
 
 
+def _spheron_init(states, z):
+    """Spheron datasets carry no VERTEX_XYZ (that would flip the reference's
+    peeker to BA dispatch) — points initialize from the first observation:
+    world = R(pose) z + t."""
+    pose, point = states
+    if pose is None:
+        pose = np.zeros(6)
+    if point is None:
+        import jax
+        with jax.default_device(jax.devices("cpu")[0]):
+            q = so3.axis_angle_to_quat(np.asarray(pose[3:6], float))
+            point = np.asarray(so3.quat_rotate(q, np.asarray(z, float))) + pose[:3]
+    return pose, point
+
+
+def _spheron_jax_init(states, z, slot):
+    if slot == 0:
+        return jnp.zeros(6, dtype=z.dtype)
+    pose = states[0]
+    q = so3.axis_angle_to_quat(pose[3:6])
+    return so3.quat_rotate(q, z) + pose[:3]
+
+
 EDGE_SPHERON_XYZ = edge_type("edge_spheron_xyz", ("spheron", "xyz"), 3, 3,
-                             _spheron_residual)
+                             _spheron_residual, _spheron_init,
+                             jax_initializer=_spheron_jax_init)

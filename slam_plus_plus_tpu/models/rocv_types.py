@@ -31,13 +31,14 @@ EDGE_ROCV_RANGE = edge_type("edge_rocv_range", ("pos_vel3d", "landmark3d"), 1, 1
 
 
 def _const_velocity_residual(states, z):
+    """6D residual (the reference default, b_1D_residual = false):
+    deviation from the Newtonian constant-velocity prediction
+    (reference include/slam/ROCV_Types.h:325,454+); measurement is the
+    1D time delta, information 6x6."""
     prev, cur = states
     dt = z[0]
     pred = jnp.concatenate([prev[:3] + dt * prev[3:], prev[3:]])
-    dev = cur - pred
-    # 1D residual: negative norm of the deviation (expectation is the norm,
-    # measurement of "deviation" is 0 -> r = 0 - |dev|)
-    return -jnp.sqrt(jnp.sum(dev * dev) + 1e-30)[None]
+    return pred - cur
 
 
 def _const_velocity_init(states, z):
@@ -50,9 +51,18 @@ def _const_velocity_init(states, z):
     return prev, cur
 
 
+def _const_velocity_jax_init(states, z, slot):
+    if slot == 0:
+        return jnp.zeros(6, dtype=z.dtype)
+    prev = states[0]
+    dt = z[0]
+    return jnp.concatenate([prev[:3] + dt * prev[3:], prev[3:]])
+
+
 EDGE_ROCV_CONST_VEL = edge_type("edge_rocv_const_vel", ("pos_vel3d", "pos_vel3d"),
-                                1, 1, _const_velocity_residual,
-                                _const_velocity_init)
+                                6, 1, _const_velocity_residual,
+                                _const_velocity_init,
+                                jax_initializer=_const_velocity_jax_init)
 
 
 def _lm_prior_residual(states, z):
@@ -60,7 +70,21 @@ def _lm_prior_residual(states, z):
     return z - lm
 
 
+def _lm_anchor_expectation(states):
+    (lm,) = states
+    return lm
+
+
+def _lm_anchor_error(z, h):
+    # reference CEdgeLandmark3DPrior: J = I, error = 0, chi2 = 0 — a pure
+    # curvature anchor; the parsed factor is the information (unsquared)
+    # (reference include/slam/ROCV_Types.h:280-312)
+    return jnp.zeros_like(h)
+
+
 EDGE_LANDMARK3D_PRIOR = edge_type("edge_landmark3d_prior", ("landmark3d",), 3, 3,
                                   _lm_prior_residual,
                                   lambda states, z: (np.asarray(z, float),)
-                                  if states[0] is None else states)
+                                  if states[0] is None else states,
+                                  expectation=_lm_anchor_expectation,
+                                  error=_lm_anchor_error)

@@ -1,0 +1,117 @@
+"""End-to-end coverage of the remaining model families: stereo BA,
+BA-with-intrinsics, spheron, ROCV, Sim3.
+
+Reference-binary goldens where obtainable:
+  * intrinsics BA: reference LM takes alpha 11691803.04, 1 iteration,
+    final 20520.96 — ours matches exactly;
+  * ROCV: reference GN, 5 iterations, final 148.56 — ours matches exactly;
+  * stereo BA and spheron: the reference binary SEGFAULTS on these datasets
+    (its stereo/spheron paths are untested upstream — unit_tests.sh carries
+    no goldens for them either); values below are our own regression
+    anchors, validated by convergence to the measurement-noise floor.
+"""
+
+import numpy as np
+import pytest
+
+import slam_plus_plus_tpu.models  # noqa: F401
+from slam_plus_plus_tpu.io import datasets as D
+from slam_plus_plus_tpu.io.parser import parse_g2o
+from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+from slam_plus_plus_tpu.solvers.lm import LevenbergMarquardtSolver
+
+
+def test_stereo_ba(tmp_path):
+    cams, pts, obs = D.make_ba_scene(n_cams=8, n_points=150, seed=30)
+    sobs = D.make_ba_stereo_obs(cams, pts, seed=31)
+    p = str(tmp_path / "bas.txt")
+    D.write_g2o_ba_stereo(p, cams, pts, sobs)
+    system = parse_g2o(p)
+    assert "scam" in system.vertex_stores
+    lm = LevenbergMarquardtSolver(system)
+    init = lm.chi2()
+    assert abs(init - 33066.64) < 1.0
+    chi2, iters = lm.optimize(5)
+    assert chi2 < 140.0  # regression anchor 135.96
+
+
+def test_intrinsics_ba(tmp_path):
+    """Exact reference parity: alpha 11691803.04, 1 iteration, 20520.96."""
+    cams, pts, obs = D.make_ba_scene(n_cams=8, n_points=150, seed=30)
+    p = str(tmp_path / "bai.txt")
+    D.write_g2o_ba_intrinsics(p, cams, pts, obs)
+    system = parse_g2o(p)
+    assert "intrinsics" in system.vertex_stores
+    lm = LevenbergMarquardtSolver(system)
+    init = lm.chi2()
+    assert abs(init - 20520.957368) < 1e-3
+    chi2, iters = lm.optimize(5)
+    assert iters == 1  # giant initial damping -> immediate sub-threshold step
+    assert abs(chi2 - 20520.96) < 0.01
+
+
+def test_spheron(tmp_path):
+    poses, pts, obs = D.make_spheron_scene(seed=32)
+    p = str(tmp_path / "sph.txt")
+    D.write_g2o_spheron(p, poses, pts, obs)
+    system = parse_g2o(p)
+    assert "spheron" in system.vertex_stores
+    assert "xyz" in system.vertex_stores  # points auto-created from edges
+    lm = LevenbergMarquardtSolver(system)
+    chi2, iters = lm.optimize(5)
+    assert chi2 < 1.0  # converges to the noise floor (anchor 0.394)
+
+
+def test_rocv(tmp_path):
+    """Exact reference parity: 5 iterations, final 148.56."""
+    tx, traj, ranges, dt = D.make_rocv_scene(seed=33)
+    p = str(tmp_path / "rocv.txt")
+    D.write_g2o_rocv(p, tx, traj, ranges, dt)
+    system = parse_g2o(p)
+    assert "pos_vel3d" in system.vertex_stores
+    gn = GaussNewtonSolver(system)
+    init = gn.chi2()
+    assert abs(init - 381.2204) < 1e-3
+    chi2, iters = gn.optimize(5)
+    assert iters == 5
+    assert abs(chi2 - 148.5625) < 0.01
+
+
+def test_sim3_pose_graph():
+    """Sim3 pose-graph self-consistency: noisy Sim3 chain converges."""
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.graph.system import GraphSystem
+    from slam_plus_plus_tpu.manifolds import sim3 as m
+
+    rng = np.random.default_rng(44)
+    import jax
+    N = 12
+    gt = [np.array([0.0, 0, 0, 0, 0, 0, 1.0])]
+    for i in range(1, N):
+        step = np.array([1.0, 0.1, 0.0, 0.02, 0.03, 0.1, 1.01])
+        gt.append(np.asarray(m.compose(jnp.asarray(gt[-1]), jnp.asarray(step))))
+
+    def rel(a, b):
+        return np.array(m.relative_to(jnp.asarray(a), jnp.asarray(b)))
+
+    system = GraphSystem()
+    info = np.eye(7) * 100.0
+    for i in range(N - 1):
+        z = rel(gt[i], gt[i + 1])
+        z[:3] += rng.normal(0, 0.01, 3)
+        system.add_vertex(i, "cam_sim3",
+                          np.concatenate([gt[i] + rng.normal(0, 0.01, 7)
+                                          if i else gt[i],
+                                          [500, 500, 320, 240, 0]]))
+        system.add_vertex(i + 1, "cam_sim3",
+                          np.concatenate([gt[i + 1] + rng.normal(0, 0.05, 7),
+                                          [500, 500, 320, 240, 0]]))
+        system.add_edge("edge_pose_cam_sim3", (i, i + 1), z, info)
+    # loop closure first-last
+    z = rel(gt[0], gt[N - 1])
+    system.add_edge("edge_pose_cam_sim3", (0, N - 1), z, info)
+
+    gn = GaussNewtonSolver(system)
+    chi2_0 = gn.chi2()
+    chi2, iters = gn.optimize(10)
+    assert chi2 < chi2_0 * 0.05  # large reduction
