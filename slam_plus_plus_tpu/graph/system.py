@@ -140,6 +140,57 @@ class GraphSystem:
                           np.asarray(info, dtype=np.float64))
         self._edge_insert_log.append((type_name, li))
 
+    # ---- bulk insertion (native-parser fast path) ----------------------
+
+    def bulk_add_vertices(self, type_name: str, global_ids: np.ndarray,
+                          states: np.ndarray) -> None:
+        """Append many vertices of one type at once (ids must be new)."""
+        store = self.vertex_stores.setdefault(
+            type_name, _VertexStore(VERTEX_TYPES[type_name]))
+        n_new = len(global_ids)
+        need = store.n + n_new
+        if need > store.states.shape[0]:
+            cap = max(need, store.states.shape[0] * 2)
+            grown = np.zeros((cap, store.states.shape[1]), dtype=np.float64)
+            grown[:store.n] = store.states[:store.n]
+            store.states = grown
+        store.states[store.n:store.n + n_new] = states
+        base = store.n
+        store.n += n_new
+        for k, gid in enumerate(global_ids):
+            gid = int(gid)
+            store.global_ids.append(gid)
+            self.vertex_directory[gid] = (type_name, base + k)
+            self.vertex_order.append(gid)
+
+    def bulk_add_edges(self, type_name: str, vertex_ids: np.ndarray,
+                       z: np.ndarray, info: np.ndarray) -> None:
+        """Append many edges of one type at once.  All referenced vertices
+        must already exist (no auto-creation on the bulk path)."""
+        etype = EDGE_TYPES[type_name]
+        store = self.edge_stores.setdefault(type_name, _EdgeStore(etype))
+        E = len(vertex_ids)
+        need = store.n + E
+        if need > store.vertex_ids.shape[0]:
+            cap = max(need, store.vertex_ids.shape[0] * 2)
+
+            def grow(a, shape):
+                g = np.zeros((cap,) + shape, dtype=a.dtype)
+                g[:store.n] = a[:store.n]
+                return g
+            store.vertex_ids = grow(store.vertex_ids, (etype.arity,))
+            store.measurements = grow(store.measurements,
+                                      (etype.measurement_dim,))
+            store.informations = grow(store.informations,
+                                      (etype.residual_dim, etype.residual_dim))
+        store.vertex_ids[store.n:store.n + E] = vertex_ids
+        store.measurements[store.n:store.n + E] = z
+        store.informations[store.n:store.n + E] = info
+        base = store.n
+        store.n += E
+        self._edge_insert_log.extend(
+            (type_name, base + k) for k in range(E))
+
     # ---- queries -------------------------------------------------------
 
     @property

@@ -51,12 +51,11 @@ def _p2c_init(states, z):
         # no reliable single-view init; place on the optical axis at unit depth
         # in front of the camera (reference initializes from parsed VERTEX_XYZ
         # in practice; BA datasets always provide landmark vertices)
-        import jax
-        with jax.default_device(jax.devices("cpu")[0]):
-            q = so3.axis_angle_to_quat(jnp.asarray(cam_state[3:6], float))
-            qi = so3.quat_conjugate(q)
-            point = np.asarray(so3.quat_rotate(qi, jnp.array([0.0, 0.0, 1.0])
-                                               - jnp.asarray(cam_state[:3], float)))
+        from slam_plus_plus_tpu.models.se3_types import _np_aa2q, _np_qrot
+        q = _np_aa2q(np.asarray(cam_state[3:6], float))
+        qi = np.concatenate([q[:1], -q[1:]])
+        point = _np_qrot(qi, np.array([0.0, 0.0, 1.0]) -
+                         np.asarray(cam_state[:3], float))
     return cam_state, point
 
 
@@ -116,10 +115,9 @@ def _spheron_init(states, z):
     if pose is None:
         pose = np.zeros(6)
     if point is None:
-        import jax
-        with jax.default_device(jax.devices("cpu")[0]):
-            q = so3.axis_angle_to_quat(np.asarray(pose[3:6], float))
-            point = np.asarray(so3.quat_rotate(q, np.asarray(z, float))) + pose[:3]
+        from slam_plus_plus_tpu.models.se3_types import _np_aa2q, _np_qrot
+        q = _np_aa2q(np.asarray(pose[3:6], float))
+        point = _np_qrot(q, np.asarray(z, float)) + pose[:3]
     return pose, point
 
 

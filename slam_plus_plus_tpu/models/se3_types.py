@@ -29,12 +29,46 @@ def _pose3d_residual(states, z):
     return se3.pose_error(z, h)
 
 
+def _np_aa2q(aa):
+    a = np.linalg.norm(aa)
+    if a < 1e-12:
+        q = np.array([1.0, aa[0] * 0.5, aa[1] * 0.5, aa[2] * 0.5])
+        return q / np.linalg.norm(q)
+    c, s = np.cos(a * 0.5), np.sin(a * 0.5) / a
+    if c < 0:
+        c, s = -c, -s
+    return np.array([c, aa[0] * s, aa[1] * s, aa[2] * s])
+
+
+def _np_q2aa(q):
+    w, v = q[0], q[1:]
+    if w < 0:
+        w, v = -w, -v
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        return np.zeros(3)
+    return v * (2.0 * np.arctan2(n, w) / n)
+
+
+def _np_qrot(q, p):
+    u, w = q[1:], q[0]
+    uv = np.cross(u, p)
+    return p + 2.0 * (w * uv + np.cross(u, uv))
+
+
 def _np_se3_compose(p1, p2):
-    """Host-side numpy SE3 compose for vertex initialization."""
-    import slam_plus_plus_tpu.manifolds.se3 as m
-    import jax
-    with jax.default_device(jax.devices("cpu")[0]):
-        return np.asarray(m.compose(p1, p2))
+    """Host-side numpy SE3 compose for vertex initialization (pure numpy —
+    a per-edge jax round-trip here dominates parse time)."""
+    q1 = _np_aa2q(np.asarray(p1[3:], float))
+    q2 = _np_aa2q(np.asarray(p2[3:], float))
+    t = np.asarray(p1[:3], float) + _np_qrot(q1, np.asarray(p2[:3], float))
+    qw = np.array([
+        q1[0] * q2[0] - q1[1] * q2[1] - q1[2] * q2[2] - q1[3] * q2[3],
+        q1[0] * q2[1] + q1[1] * q2[0] + q1[2] * q2[3] - q1[3] * q2[2],
+        q1[0] * q2[2] - q1[1] * q2[3] + q1[2] * q2[0] + q1[3] * q2[1],
+        q1[0] * q2[3] + q1[1] * q2[2] - q1[2] * q2[1] + q1[3] * q2[0],
+    ])
+    return np.concatenate([t, _np_q2aa(qw)])
 
 
 def _pose3d_init(states, z):
@@ -75,11 +109,8 @@ def _lm3d_init(states, z):
     if pose is None:
         pose = np.zeros(6)
     if lm is None:
-        import slam_plus_plus_tpu.manifolds.so3 as s
-        import jax
-        with jax.default_device(jax.devices("cpu")[0]):
-            q = s.axis_angle_to_quat(np.asarray(pose[3:], float))
-            lm = np.asarray(s.quat_rotate(q, np.asarray(z, float))) + pose[:3]
+        q = _np_aa2q(np.asarray(pose[3:], float))
+        lm = _np_qrot(q, np.asarray(z, float)) + pose[:3]
     return pose, lm
 
 
