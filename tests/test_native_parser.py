@@ -17,7 +17,9 @@ def _same(s1, s2):
     assert s1.vertex_order == s2.vertex_order
     assert set(s1.edge_stores) == set(s2.edge_stores)
     for t in s1.vertex_stores:
-        assert np.array_equal(s1.vertex_stores[t].data, s2.vertex_stores[t].data)
+        # bulk-vectorized pose inversion may round differently at 1 ulp
+        assert np.allclose(s1.vertex_stores[t].data, s2.vertex_stores[t].data,
+                           rtol=0, atol=1e-14)
     for t in s1.edge_stores:
         a, b = s1.edge_stores[t], s2.edge_stores[t]
         assert a.n == b.n
