@@ -1,0 +1,44 @@
+"""Eigensolver tests: dense-exact and matrix-free LOBPCG paths."""
+
+import numpy as np
+import pytest
+
+import slam_plus_plus_tpu.models  # noqa: F401
+from slam_plus_plus_tpu.assembly.assembler import Assembler
+from slam_plus_plus_tpu.io import datasets as D
+from slam_plus_plus_tpu.io.parser import parse_g2o
+from slam_plus_plus_tpu.linalg.eigen import _dense_lambda, sym_eigs
+
+
+def _build(n, seed, tmp_path):
+    poses, edges = D.make_manhattan_2d(n_poses=n, seed=seed)
+    p = str(tmp_path / "e.txt")
+    D.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    return asm, asm.assemble(asm.snapshot_states(s))
+
+
+def test_dense_path(tmp_path):
+    asm, bs = _build(50, 70, tmp_path)
+    w, V = sym_eigs(asm, bs, k=3, which="LM")
+    ref = np.sort(np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs))))[::-1]
+    assert np.allclose(np.abs(w), ref[:3], rtol=1e-10)
+    # eigenpairs satisfy A v = w v
+    A = _dense_lambda(asm, bs)
+    for i in range(3):
+        assert np.abs(A @ V[:, i] - w[i] * V[:, i]).max() < 1e-6 * abs(w[i])
+
+
+def test_smallest_magnitude(tmp_path):
+    asm, bs = _build(40, 71, tmp_path)
+    w, V = sym_eigs(asm, bs, k=2, which="SM")
+    ref = np.sort(np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs))))
+    assert np.allclose(np.abs(w), ref[:2], rtol=1e-8)
+
+
+def test_lobpcg_path(tmp_path):
+    asm, bs = _build(800, 72, tmp_path)
+    w, V = sym_eigs(asm, bs, k=3, which="LM")
+    ref = np.sort(np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs))))[::-1]
+    assert np.allclose(np.abs(np.asarray(w)), ref[:3], rtol=1e-4)

@@ -1,0 +1,91 @@
+"""Geometry-module tests: P3P, essential, homography, triangulation,
+distortion — synthetic ground-truth recovery."""
+
+import numpy as np
+import pytest
+
+from slam_plus_plus_tpu.geometry import distortion, minimal, triangulate
+
+
+def _rand_pose(rng):
+    aa = rng.normal(0, 0.5, 3)
+    th = np.linalg.norm(aa)
+    k = aa / max(th, 1e-12)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    t = rng.normal(0, 1.0, 3) + np.array([0, 0, 4.0])
+    return R, t
+
+
+def test_p3p_recovers_pose():
+    rng = np.random.default_rng(7)
+    hits = 0
+    for trial in range(20):
+        R, t = _rand_pose(rng)
+        pts = rng.uniform(-2, 2, (3, 3))
+        pc = pts @ R.T + t
+        if (pc[:, 2] <= 0.3).any():
+            continue
+        bearings = pc / np.linalg.norm(pc, axis=1, keepdims=True)
+        sols = minimal.p3p(bearings, pts)
+        best = min((np.abs(Rs - R).max() + np.abs(ts - t).max()
+                    for Rs, ts in sols), default=np.inf)
+        if best < 1e-6:
+            hits += 1
+    assert hits >= 12  # P3P has up to 4 solutions; GT must be among them
+
+
+def test_essential_and_decomposition():
+    rng = np.random.default_rng(8)
+    R, t = _rand_pose(rng)
+    t = t / np.linalg.norm(t)  # scale-free
+    pts = rng.uniform(-2, 2, (30, 3)) + np.array([0, 0, 6.0])
+    x1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = pts @ R.T + t
+    x2 = pc2[:, :2] / pc2[:, 2:3]
+    E = minimal.essential_8pt(x1, x2)
+    # epipolar constraint
+    for i in range(len(x1)):
+        a = np.array([x2[i, 0], x2[i, 1], 1.0])
+        b = np.array([x1[i, 0], x1[i, 1], 1.0])
+        assert abs(a @ E @ b) < 1e-8
+    R2, t2 = minimal.decompose_essential(E, x1, x2)
+    assert np.abs(R2 - R).max() < 1e-6
+    assert min(np.abs(t2 - t).max(), np.abs(t2 + t).max()) < 1e-6
+
+
+def test_homography():
+    rng = np.random.default_rng(9)
+    H_gt = np.array([[1.1, 0.02, 0.3], [-0.03, 0.95, -0.2], [0.001, 0.002, 1.0]])
+    x1 = rng.uniform(-1, 1, (12, 2))
+    ones = np.ones((12, 1))
+    x2h = np.concatenate([x1, ones], axis=1) @ H_gt.T
+    x2 = x2h[:, :2] / x2h[:, 2:3]
+    H = minimal.homography_dlt(x1, x2)
+    assert np.abs(H - H_gt).max() < 1e-8
+
+
+def test_triangulation():
+    rng = np.random.default_rng(10)
+    R, t = _rand_pose(rng)
+    pts = rng.uniform(-2, 2, (15, 3)) + np.array([0, 0, 6.0])
+    x1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = pts @ R.T + t
+    x2 = pc2[:, :2] / pc2[:, 2:3]
+    X = triangulate.triangulate_two_view(np.eye(3), np.zeros(3), R, t, x1, x2)
+    assert np.abs(X - pts).max() < 1e-8
+    Xn = triangulate.triangulate_nview([np.eye(3), R], [np.zeros(3), t],
+                                       [x1[0], x2[0]])
+    assert np.abs(Xn - pts[0]).max() < 1e-8
+
+
+def test_distortion_roundtrip():
+    # k = d_scaled / mean_focal must keep k*r^2 moderate in pixel space for
+    # the fixed-point inverse to converge (realistic datasets have tiny d)
+    intr = np.array([500.0, 510.0, 320.0, 240.0, 1.0e-6 * 505.0])
+    rng = np.random.default_rng(11)
+    uv = rng.uniform(0, 1, (50, 2)) * np.array([640, 480])
+    # moderate distortion: roundtrip must invert
+    d = distortion.distort(uv, intr)
+    u = distortion.undistort(d, intr, iters=20)
+    assert np.abs(u - uv).max() < 1e-6
