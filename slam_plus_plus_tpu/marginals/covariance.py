@@ -54,9 +54,16 @@ class Marginals:
     (additionally returns the dense primary covariance).
     """
 
-    def __init__(self, asm, part: str = "diagonal"):
+    def __init__(self, asm, part: str = "diagonal",
+                 gauge_jitter: float = 0.0):
+        """gauge_jitter: relative diagonal damping (scaled by max_hdiag)
+        applied before inversion — gauge-deficient systems (mono BA scale
+        freedom) are singular and would produce NaN; the reference's own
+        factorization merely loses precision there, producing huge finite
+        values.  Set 0 to disable."""
         self.asm = asm
         self.part = part
+        self.gauge_jitter = gauge_jitter
         self._schur_mode = asm.Nl > 0 and asm.Kpl > 0
         if self._schur_mode:
             from slam_plus_plus_tpu.linalg.schur import SchurSolver
@@ -73,6 +80,10 @@ class Marginals:
 
     def _compute_impl(self, bs) -> MarginalsResult:
         asm = self.asm
+        if self.gauge_jitter:
+            from slam_plus_plus_tpu.solvers.lm import damp_system
+            bs = damp_system(bs, bs.max_hdiag * self.gauge_jitter,
+                             asm.pp_diag_ids_dev)
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         nred = Np * Bp
         dt = bs.pp_blocks.dtype

@@ -157,13 +157,28 @@ class IncrementalSolver:
         return jnp.asarray(dx_p, dtype=bs.eta_p.dtype), zeros_l
 
     def _optimize(self, states, counts, nap, nal, max_iters, thresh):
-        """Reference Optimize(): solve, break-before-push on small |dx|."""
+        """Reference Optimize(): solve, break-before-push on small |dx|.
+
+        Gauge-deficient systems (incremental BA) get an escalating damped
+        retry when the plain GN solve is non-finite — the analogue of the
+        reference's LM/dogleg fallback for BA problem types."""
+        from slam_plus_plus_tpu.solvers.lm import damp_system
         n_iters = 0
         for _ in range(max_iters):
             n_iters += 1
             bs = self.asm.assemble_active(states, counts, nap, nal)
             dx_p, dx_l = self._solve(bs)
             norm = float(jnp.sqrt(jnp.sum(dx_p * dx_p) + jnp.sum(dx_l * dx_l)))
+            if not np.isfinite(norm):
+                alpha = float(bs.max_hdiag) * 1e-6
+                for _try in range(6):
+                    dx_p, dx_l = self._solve(
+                        damp_system(bs, alpha, self.asm.pp_diag_ids_dev))
+                    norm = float(jnp.sqrt(jnp.sum(dx_p * dx_p) +
+                                          jnp.sum(dx_l * dx_l)))
+                    if np.isfinite(norm):
+                        break
+                    alpha *= 100.0
             if not np.isfinite(norm) or norm <= thresh:
                 break
             states = self.asm.update(states, dx_p, dx_l)

@@ -90,3 +90,47 @@ def test_a_solver(man_file):
     system2 = parse_g2o(man_file)
     gn_chi2, _ = GaussNewtonSolver(system2).optimize(5)
     assert abs(chi2 - gn_chi2) < 1e-6 * max(gn_chi2, 1.0)
+
+
+def test_spcg(man_file):
+    from slam_plus_plus_tpu.solvers.spcg import SPCGSolver
+    system = parse_g2o(man_file)
+    chi2, iters = SPCGSolver(system).optimize(5)
+    from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+    system2 = parse_g2o(man_file)
+    gn_chi2, _ = GaussNewtonSolver(system2).optimize(5)
+    assert abs(chi2 - gn_chi2) < 1e-3 * max(gn_chi2, 1.0)
+
+
+def test_ba_optimizer_facade(ba_file):
+    import numpy as np
+    from slam_plus_plus_tpu.app.ba_optimizer import BAOptimizer
+    from slam_plus_plus_tpu.io import datasets as D
+    cams, pts, obs = D.make_ba_scene(n_cams=8, n_points=120, seed=18)
+    opt = BAOptimizer()
+    rng = np.random.default_rng(5)
+    for c, (pos, q, fx, fy, cx, cy, d) in enumerate(cams):
+        opt.add_cam_vertex_g2o(c, pos, q, fx, fy, cx, cy, d)
+    for p, pt in enumerate(pts):
+        opt.add_xyz_vertex(len(cams) + p, pt + rng.normal(0, 0.05, 3))
+    for (pid, cid, u, v) in obs:
+        opt.add_p2c_edge(len(cams) + pid, cid, [u, v], np.eye(2))
+    chi2_0 = opt.chi2()
+    chi2, iters = opt.optimize(5)
+    assert chi2 < chi2_0 * 0.1
+    cov = opt.covariances()
+    assert bool(np.isfinite(np.asarray(cov.p_diag)).all())
+
+
+def test_incremental_ba_markers(tmp_path):
+    import numpy as np
+    from slam_plus_plus_tpu.app.incremental_ba import (run_incremental_ba,
+                                                       write_incremental_ba)
+    from slam_plus_plus_tpu.io import datasets as D
+    cams, pts, obs = D.make_ba_scene(n_cams=6, n_points=60, seed=80)
+    p = str(tmp_path / "iba.txt")
+    write_incremental_ba(p, cams, pts, obs, cams_per_chunk=2)
+    final, trace, marg = run_incremental_ba(p, marginals=True)
+    assert len(trace) == 3
+    assert final < 60.0  # converges near the batch optimum (55.57)
+    assert bool(np.isfinite(np.asarray(marg.p_diag)).all())
