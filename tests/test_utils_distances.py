@@ -1,0 +1,107 @@
+"""Tests: matrix I/O, FLOP accounting, stage timer, compact-pose distances."""
+
+import os
+
+import numpy as np
+import pytest
+
+import slam_plus_plus_tpu.models  # noqa: F401
+from slam_plus_plus_tpu.assembly.assembler import Assembler
+from slam_plus_plus_tpu.io import datasets as D
+from slam_plus_plus_tpu.io.parser import parse_g2o
+
+
+@pytest.fixture(scope="module")
+def small(tmp_path_factory):
+    p = tmp_path_factory.mktemp("u") / "m.txt"
+    poses, edges = D.make_manhattan_2d(n_poses=40, seed=90)
+    D.write_g2o_2d(str(p), edges, poses)
+    s = parse_g2o(str(p))
+    asm = Assembler(s)
+    return s, asm, asm.assemble(asm.snapshot_states(s))
+
+
+def test_matrix_market_roundtrip(small, tmp_path):
+    import scipy.io as sio
+    from slam_plus_plus_tpu.linalg.bsr import partitioned_to_scipy
+    from slam_plus_plus_tpu.utils.matrix_io import save_matrix_market
+    s, asm, bs = small
+    p = str(tmp_path / "lam.mtx")
+    save_matrix_market(p, asm, bs)
+    A = sio.mmread(p).toarray()
+    A = np.triu(A) + np.triu(A, 1).T
+    ref = partitioned_to_scipy(asm.pp_rows, asm.pp_cols,
+                               np.asarray(bs.pp_blocks), asm.Np, asm.Bp).toarray()
+    assert np.abs(A - ref).max() < 1e-12 * max(np.abs(ref).max(), 1.0)
+
+
+def test_block_layout_and_raster(small, tmp_path):
+    from slam_plus_plus_tpu.utils.matrix_io import (rasterize_sparsity,
+                                                    save_block_layout)
+    s, asm, bs = small
+    p = str(tmp_path / "layout.bla")
+    save_block_layout(p, asm)
+    assert os.path.getsize(p) > 0
+    png = rasterize_sparsity(str(tmp_path / "lam.png"), asm)
+    if png:  # matplotlib available
+        assert os.path.getsize(png) > 0
+
+
+def test_flop_accounting(small):
+    from slam_plus_plus_tpu.utils.flops import assembly_flops
+    s, asm, bs = small
+    fl = assembly_flops(asm)
+    assert fl["total"] > 0
+    assert "edge_pose2d" in fl
+
+
+def test_stage_timer():
+    from slam_plus_plus_tpu.utils.timer import StageTimer
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a" in t.dump()
+
+
+def test_relative_pose_distribution():
+    from slam_plus_plus_tpu.evaluation.distances import (
+        relative_pose_distribution, rotation_magnitude_transform,
+        view_direction_transform)
+    rng = np.random.default_rng(12)
+    x_i = np.concatenate([rng.normal(0, 1, 3), rng.normal(0, 0.3, 3)])
+    x_j = np.concatenate([rng.normal(0, 1, 3), rng.normal(0, 0.3, 3)])
+    S = np.eye(6) * 0.01
+    mean, sigma = relative_pose_distribution(x_i, x_j, S, S)
+    # covariance must be symmetric PSD
+    assert np.abs(sigma - sigma.T).max() < 1e-12
+    assert np.linalg.eigvalsh(sigma).min() > -1e-12
+
+    # Monte-Carlo check of the first-order propagation
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.manifolds import se3
+    draws = []
+    for _ in range(400):
+        di = rng.normal(0, 0.1, 6)
+        dj = rng.normal(0, 0.1, 6)
+        xi = np.asarray(se3.boxplus(jnp.asarray(x_i), jnp.asarray(di)))
+        xj = np.asarray(se3.boxplus(jnp.asarray(x_j), jnp.asarray(dj)))
+        draws.append(np.asarray(se3.relative_to(jnp.asarray(xi),
+                                                jnp.asarray(xj))))
+    draws = np.stack(draws)
+    mc_cov = np.cov(draws.T)
+    _, sigma01 = relative_pose_distribution(x_i, x_j, np.eye(6) * 0.01,
+                                            np.eye(6) * 0.01)
+    # first-order propagation within 30% of Monte Carlo on the diagonal
+    ratio = np.diag(sigma01) / np.maximum(np.diag(mc_cov), 1e-12)
+    assert (ratio > 0.6).all() and (ratio < 1.6).all()
+
+    m4, s4 = rotation_magnitude_transform(mean, sigma)
+    assert m4.shape == (4,) and s4.shape == (4, 4)
+    assert abs(m4[3] - np.linalg.norm(mean[3:])) < 1e-12
+    m4v, s4v = view_direction_transform(mean, sigma)
+    assert m4v.shape == (4,) and np.isfinite(s4v).all()
