@@ -417,11 +417,16 @@ class Assembler:
             li = 0
             for k in range(len(plan.slot_types)):
                 cs = data["slot_cslot"][k]
+                # segment_sum lowers to sort+segmented-reduce on TPU, much
+                # faster than the serialized scatter-add lowering
                 if plan.slot_class[k] == "p":
-                    eta_p = eta_p.at[cs].add(gs[k])
+                    eta_p = eta_p + jax.ops.segment_sum(
+                        gs[k], cs, num_segments=Np)
                 else:
-                    eta_l = eta_l.at[cs].add(gs[k])
-                    ll = ll.at[cs].add(Hll[li])
+                    eta_l = eta_l + jax.ops.segment_sum(
+                        gs[k], cs, num_segments=Nl)
+                    ll = ll + jax.ops.segment_sum(
+                        Hll[li], cs, num_segments=Nl)
                     li += 1
 
             for ci, (a, b, _s, _w) in enumerate(plan.pp_contribs):

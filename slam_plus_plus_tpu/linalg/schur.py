@@ -57,7 +57,13 @@ class SchurSolver:
     """
 
     def __init__(self, asm, dense_reduced: Optional[bool] = None,
-                 chunk: Optional[int] = None):
+                 chunk: Optional[int] = None, panel_mode: str = "auto"):
+        """panel_mode: how the dense panels are built from planar blocks.
+        "scatter": flat-index scatter-add (general; XLA scatters serialize
+        on TPU).  "onehot": per-landmark one-hot GEMM construction — turns
+        the scatter into batched MXU matmuls (observed 2.5x+ faster on TPU);
+        requires a bounded max-observations-per-landmark.  "auto" picks
+        onehot when the bound is reasonable."""
         self.asm = asm
         if asm.Nl == 0 or asm.Kpl == 0:
             raise ValueError("Schur solver requires an eliminated class")
@@ -65,6 +71,32 @@ class SchurSolver:
         self.n_reduced = Np * Bp
         self.chunk = chunk or _pick_chunk(Nl, self.n_reduced, Bl)
         self.n_chunks = (Nl + self.chunk - 1) // self.chunk
+
+        # per-landmark observation table for the one-hot panel build
+        import numpy as _np
+        counts = _np.bincount(asm.pl_cols, minlength=Nl)
+        self.max_obs = int(counts.max()) if Nl else 0
+        if panel_mode == "auto":
+            panel_mode = ("onehot" if self.n_chunks == 1 and
+                          self.max_obs <= max(4 * counts.mean(), 64)
+                          else "scatter")
+        self.panel_mode = panel_mode
+        if panel_mode == "onehot":
+            order0 = _np.argsort(asm.pl_cols, kind="stable")
+            tbl = _np.zeros((Nl, self.max_obs), dtype=_np.int32)
+            tbl_rows = _np.zeros((Nl, self.max_obs), dtype=_np.int32)
+            valid = _np.zeros((Nl, self.max_obs), dtype=_np.float32)
+            fill = _np.zeros(Nl, dtype=_np.int64)
+            for k in order0:
+                c = asm.pl_cols[k]
+                j = fill[c]
+                tbl[c, j] = k
+                tbl_rows[c, j] = asm.pl_rows[k]
+                valid[c, j] = 1.0
+                fill[c] += 1
+            self._obs_tbl = jnp.asarray(tbl)
+            self._obs_rows = jnp.asarray(tbl_rows)
+            self._obs_valid = jnp.asarray(valid)
 
         # sort pl blocks by landmark column; chunk ci covers the contiguous
         # range [starts[ci], starts[ci+1]) of the sorted arrays
@@ -140,7 +172,27 @@ class SchurSolver:
             return panel.at[idx.reshape(-1)].add(
                 vals.reshape(-1)).reshape(nred, C * Bl)
 
-        if self.n_chunks == 1:
+        if self.panel_mode == "onehot" and self.n_chunks == 1:
+            # scatter-free: per-landmark one-hot GEMM panel construction.
+            # For each landmark, its <= max_obs blocks are summed into camera
+            # rows via a one-hot contraction — batched MXU matmuls instead of
+            # a serialized TPU scatter.
+            M = self.max_obs
+            u_pad = u[self._obs_tbl] * self._obs_valid[:, :, None].astype(dt)
+            w_pad = w[self._obs_tbl] * self._obs_valid[:, :, None].astype(dt)
+            onehot = (self._obs_rows[:, :, None] ==
+                      jnp.arange(Np, dtype=self._obs_rows.dtype)[None, None, :]
+                      ).astype(dt) * self._obs_valid[:, :, None].astype(dt)
+            # [Nl, M, Np] x [Nl, M, Bp*Bl] -> [Nl, Np, Bp*Bl]
+            U3 = jnp.einsum("cmn,cmk->cnk", onehot, u_pad)
+            W3 = jnp.einsum("cmn,cmk->cnk", onehot, w_pad)
+            # -> [Nl*Bl, nred] panels (transpose block cols to rows)
+            Ut = (U3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
+                  .reshape(Nl * Bl, nred))
+            Wt = (W3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
+                  .reshape(Nl * Bl, nred))
+            sc = sc0 - Wt.T @ Ut
+        elif self.n_chunks == 1:
             idx = self._panel_base + (self._sorted_cols_dev * Bl)[:, None]
             up = build_panel(u_sorted, idx)
             wp = build_panel(w_sorted, idx)
