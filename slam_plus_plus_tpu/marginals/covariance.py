@@ -199,3 +199,113 @@ class Marginals:
 
     def compute(self, block_system) -> MarginalsResult:
         return self._compute_jit(block_system)
+
+
+class IncrementalMarginals:
+    """Incrementally updated block-diagonal covariance.
+
+    Reference analogue: CMarginals::Update_BlockDiagonalMarginals_FBS_ExOmega
+    (reference include/slam/Marginals.h:5224) with the update-vs-recalculate
+    policy of the solver base: after new edges add omega = G G^T to lambda,
+    the cached Sigma diagonal updates by Woodbury
+
+        Sigma' = Sigma - X (I + G^T X)^-1 X^T,     X = Sigma G
+
+    where X solves through the cached Cholesky factor — O(n k) per update
+    instead of a fresh O(n^3/3) factorization.  Falls back to a full
+    recompute when the update rank exceeds ``max_update_rank`` (the
+    b_CanUpdate() policy).
+
+    Round-1 scope: the primary (non-Schur) system; Schur-domain incremental
+    updates fall back to recompute.
+    """
+
+    def __init__(self, asm, max_update_rank: int = 64):
+        self.asm = asm
+        self.max_update_rank = max_update_rank
+        self._L = None          # cached dense Cholesky factor of lambda_pp
+        self._sigma_diag = None  # [Np, Bp*Bp] planar
+        self._marg = Marginals(asm)
+
+    def compute(self, bs):
+        """Full recompute; caches the factor for subsequent updates."""
+        import jax.numpy as jnp
+        from slam_plus_plus_tpu.linalg.dense import scatter_dense
+        asm = self.asm
+        res = self._marg.compute(bs)
+        if not self._marg._schur_mode:
+            A = scatter_dense(asm.pp_rows, asm.pp_cols, bs.pp_blocks,
+                              asm.Np, asm.Bp)
+            self._L = jnp.linalg.cholesky(A)
+        self._sigma_diag = res.p_diag
+        return res
+
+    def b_can_update(self, k: int) -> bool:
+        return (self._L is not None and not self._marg._schur_mode
+                and k <= self.max_update_rank)
+
+    def update(self, G):
+        """Rank-k update after lambda grew by G @ G.T  (G: [n, k] dense,
+        columns = square-root factors of the new edges' omega).  Returns the
+        updated planar block diagonal; falls back by raising ValueError when
+        b_can_update fails (caller should recompute)."""
+        import jax
+        import jax.numpy as jnp
+        G = jnp.asarray(G)
+        k = G.shape[1]
+        if not self.b_can_update(k):
+            raise ValueError("update not possible; recompute required")
+        asm = self.asm
+        L = self._L
+        # X = Sigma G via two triangular solves
+        Y = jax.scipy.linalg.solve_triangular(L, G, lower=True)
+        X = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+        K = jnp.linalg.inv(jnp.eye(k, dtype=G.dtype) + G.T @ X)
+        # diag block update: Sigma_ii' = Sigma_ii - X_i K X_i^T per block
+        Np, Bp = asm.Np, asm.Bp
+        Xb = X.reshape(Np, Bp, k)
+        corr = jnp.einsum("nik,kl,njl->nij", Xb, K, Xb).reshape(Np, Bp * Bp)
+        self._sigma_diag = self._sigma_diag - corr
+        # keep the factor usable for further updates: rank-update of L is
+        # deferred — track the accumulated correction via re-factor when
+        # updates stack too deep
+        self._L = None  # single-shot: next update requires recompute
+        return self._sigma_diag
+
+    @staticmethod
+    def omega_sqrt_for_edge(asm, states, ename: str, eidx: int):
+        """G columns for one edge: stacked sqrt-information-weighted
+        jacobians scattered to the global index space ([n, m])."""
+        import jax.numpy as jnp
+        import numpy as np
+        from slam_plus_plus_tpu.models.types import EDGE_TYPES, VERTEX_TYPES
+        et = EDGE_TYPES[ename]
+        data = asm.edge_data[ename]
+        z = data["info"][eidx]
+        # sqrt of the information
+        w, V = np.linalg.eigh(np.asarray(z))
+        sqrtW = V @ np.diag(np.sqrt(np.maximum(w, 0))) @ V.T
+        gathered = tuple(states[t][data["slot_local"][kk][eidx]]
+                         for kk, t in enumerate(et.vertex_types))
+        import jax
+        jacs = []
+        for kk, tname in enumerate(et.vertex_types):
+            vt = VERTEX_TYPES[tname]
+
+            def f(delta, kk=kk, vt=vt):
+                st = list(gathered)
+                st[kk] = vt.boxplus(st[kk], delta)
+                if et.expectation is not None:
+                    return et.error(data["z"][eidx], et.expectation(tuple(st)))
+                return et.residual(tuple(st), data["z"][eidx])
+
+            jacs.append(np.asarray(jax.jacfwd(f)(
+                jnp.zeros(vt.tangent_dim, dtype=z.dtype))))
+        n = asm.Np * asm.Bp
+        m = et.residual_dim
+        G = np.zeros((n, m))
+        for kk, tname in enumerate(et.vertex_types):
+            cs = int(np.asarray(data["slot_cslot"][kk][eidx]))
+            d = VERTEX_TYPES[tname].tangent_dim
+            G[cs * asm.Bp:cs * asm.Bp + d, :] += (sqrtW @ jacs[kk]).T
+        return G

@@ -86,3 +86,54 @@ def test_marginals_schur_chunked():
     p_diag, l_diag = _oracle_diag(asm, bs)
     assert np.abs(np.asarray(res.p_diag) - p_diag).max() < 1e-8 * np.abs(p_diag).max()
     assert np.abs(np.asarray(res.l_diag)[:asm.Nl] - l_diag).max() < 1e-8 * np.abs(l_diag).max()
+
+
+def test_incremental_marginals_update():
+    """Woodbury omega-update == full recompute after adding a closure edge."""
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.marginals.covariance import IncrementalMarginals
+    poses, edges = datasets.make_manhattan_2d(n_poses=150, seed=16)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "m.txt")
+    # hold out the last loop-closure edge
+    closures = [e for e in edges if abs(e[0] - e[1]) > 1]
+    assert closures
+    held = closures[-1]
+    rest = [e for e in edges if e is not held]
+    datasets.write_g2o_2d(path, rest)
+    system = parse_g2o(path)
+    asm = Assembler(system)
+    states = asm.snapshot_states(system)
+    bs = asm.assemble(states)
+
+    inc = IncrementalMarginals(asm)
+    res0 = inc.compute(bs)
+
+    # add the held-out edge; full graph assembler for the oracle
+    path2 = os.path.join(tempfile.mkdtemp(), "m2.txt")
+    datasets.write_g2o_2d(path2, rest + [held])
+    system2 = parse_g2o(path2)
+    # same states for both (system2's initializer composes identically for
+    # existing vertices; closure edge adds no vertex)
+    asm2 = Assembler(system2)
+    states2 = asm2.snapshot_states(system2)
+    bs2 = asm2.assemble(states2)
+    oracle = Marginals(asm2).compute(bs2)
+
+    # omega sqrt for the new edge, evaluated at the same linearization;
+    # the writer sorts edges chronologically, so find it by vertex ids
+    store2 = system2.edge_stores["edge_pose2d"]
+    matches = [e for e in range(store2.n)
+               if tuple(store2.vertex_ids[e]) == (held[0], held[1])
+               and np.allclose(store2.measurements[e], held[2])]
+    assert len(matches) == 1
+    eidx = matches[0]
+    G = IncrementalMarginals.omega_sqrt_for_edge(asm2, states2,
+                                                 "edge_pose2d", eidx)
+    assert inc.b_can_update(G.shape[1])
+    updated = inc.update(jnp.asarray(G))
+
+    a = np.asarray(updated)
+    b = np.asarray(oracle.p_diag)
+    scale = np.abs(b).max()
+    assert np.abs(a - b).max() < 1e-8 * scale
