@@ -288,6 +288,25 @@ class Assembler:
         for plan in self.plans:
             self._kernels[plan.name] = self._make_kernel(plan)
 
+        # permutation-gather tables for single-contributor reductions
+        self._pp_gather = self._build_gather(
+            [s for plan in self.plans for (_a, _b, s, _w) in plan.pp_contribs],
+            self.Kpp)
+        self._pl_gather = self._build_gather(
+            [s for plan in self.plans for (_a, _b, s) in plan.pl_contribs],
+            self.Kpl)
+
+    @staticmethod
+    def _build_gather(seg_arrays, K):
+        if not seg_arrays or K == 0:
+            return False
+        seg_all = np.concatenate([np.asarray(s) for s in seg_arrays])
+        if len(seg_all) != K or len(np.unique(seg_all)) != K:
+            return False
+        order = np.empty(K, dtype=np.int32)
+        order[seg_all] = np.arange(K, dtype=np.int32)
+        return jnp.asarray(order)
+
     def _make_kernel(self, plan: _EdgePlan):
         """Batched per-edge kernel producing PLANAR (flattened) contributions.
 
@@ -441,19 +460,29 @@ class Assembler:
                 pl_chunks.append(Hpl[ci])
                 pl_segids.append(data["pl_seg"][ci])
 
-        if pp_chunks:
-            pp = jax.ops.segment_sum(jnp.concatenate(pp_chunks),
-                                     jnp.concatenate(pp_segids),
-                                     num_segments=self.Kpp)
-        else:
-            pp = jnp.zeros((max(self.Kpp, 1), Bp * Bp), dtype=dt)
-        if pl_chunks:
-            pl = jax.ops.segment_sum(jnp.concatenate(pl_chunks),
-                                     jnp.concatenate(pl_segids),
-                                     num_segments=max(self.Kpl, 1))
-        else:
-            pl = jnp.zeros((max(self.Kpl, 1), Bp * Bl), dtype=dt)
+        pp = self._reduce_contribs(pp_chunks, pp_segids, self.Kpp,
+                                   Bp * Bp, dt, "_pp_gather")
+        pl = self._reduce_contribs(pl_chunks, pl_segids, max(self.Kpl, 1),
+                                   Bp * Bl, dt, "_pl_gather")
         return pp, pl, ll, eta_p, eta_l, chi2, max_hdiag
+
+    def _reduce_contribs(self, chunks, segids, K, d, dt, gather_attr):
+        """Sum contribution chunks into K planar blocks.
+
+        When every block has exactly one contributor (BA: each cam-landmark
+        pair appears once), the segment reduction is a pure permutation and
+        a host-precomputed GATHER replaces it — TPU gathers are fast where
+        scatters/sorts are not.  The gather tables are built host-side in
+        _build_device_plan; DistributedAssembler disables them (shard-local
+        chunks are partial)."""
+        if not chunks:
+            return jnp.zeros((max(K, 1), d), dtype=dt)
+        vals = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        gather = getattr(self, gather_attr, False)
+        if gather is not False:
+            return vals[gather]
+        return jax.ops.segment_sum(vals, jnp.concatenate(segids),
+                                   num_segments=K)
 
     def _assemble_impl(self, states, edge_data) -> BlockSystem:
         pp, pl, ll, eta_p, eta_l, chi2, max_hdiag = self._edge_sums(

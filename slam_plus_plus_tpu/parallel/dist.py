@@ -60,6 +60,10 @@ class DistributedAssembler(Assembler):
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         super().__init__(system, config, dtype)
+        # shard-local contribution chunks are partial sums: the permutation-
+        # gather shortcut does not apply (psum completes the reduction)
+        self._pp_gather = False
+        self._pl_gather = False
         self._shard_edge_data()
         in_specs = (P(), self._edge_specs)
         self._assemble_jit = jax.jit(
