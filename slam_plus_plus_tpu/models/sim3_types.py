@@ -106,3 +106,92 @@ def _p2c_invdepth_ls_residual(states, z):
 
 EDGE_P2C_INVDEPTH_LS = edge_type("edge_p2c_invdepth_ls", ("cam_sim3", "inv_depth"),
                                  2, 2, _p2c_invdepth_ls_residual)
+
+
+def _p2c_xyz_ls_residual(states, z):
+    """Self-observing XYZ edge (LS family): project a world point into the
+    owner camera itself (Sim3_Types.h LS variants)."""
+    owner, lm = states
+    return z - _project_sim3(owner, lm)
+
+
+EDGE_P2C_XYZ_LS = edge_type("edge_p2c_xyz_ls", ("cam_sim3", "xyz"), 2, 2,
+                            _p2c_xyz_ls_residual)
+
+
+# inverse-distance landmarks: state [dx, dy, dz, q] — a unit-ish direction in
+# the OWNER camera frame (constant after init) and the optimized inverse
+# distance q; tangent is 1-dof (reference CVertexInvDist, Sim3_Types.h:102,
+# stores the direction as a constant alongside the 1D state)
+INV_DIST4 = vertex_type("inv_dist4", 4, 1,
+                        lambda x, dx: jnp.concatenate([x[:3], x[3:] + dx]),
+                        schur_class="landmark")
+
+
+def _invdist_to_world(owner_cam_state, lm):
+    q = lm[3]
+    sign = jnp.where(q == 0, 1.0, jnp.sign(q))
+    q = sign * jnp.maximum(jnp.abs(q), 1e-12)
+    p_cam = lm[:3] / q
+    cam_to_world = sim3.inverse(owner_cam_state[:7])
+    return sim3.transform_point(cam_to_world, p_cam)
+
+
+def _p2c_invdist_lo_residual(states, z):
+    owner, observer, lm = states
+    return z - _project_sim3(observer, _invdist_to_world(owner, lm))
+
+
+EDGE_P2C_INVDIST_LO = edge_type(
+    "edge_p2c_invdist_lo", ("cam_sim3", "cam_sim3", "inv_dist4"), 2, 2,
+    _p2c_invdist_lo_residual)
+
+
+def _p2c_invdist_ls_residual(states, z):
+    owner, lm = states
+    return z - _project_sim3(owner, _invdist_to_world(owner, lm))
+
+
+EDGE_P2C_INVDIST_LS = edge_type(
+    "edge_p2c_invdist_ls", ("cam_sim3", "inv_dist4"), 2, 2,
+    _p2c_invdist_ls_residual)
+
+
+def _project_sim3_intr(cam_state, intr, point_world):
+    """Projection with a separate intrinsics vertex (the 'I' variants)."""
+    x = sim3.transform_point(cam_state[:7], point_world)
+    fx, fy, cx, cy, d = intr[0], intr[1], intr[2], intr[3], intr[4]
+    k = d / (0.5 * (fx + fy))
+    inv_z = 1.0 / x[2]
+    u = fx * x[0] * inv_z + cx
+    v = fy * x[1] * inv_z + cy
+    du, dv = u - cx, v - cy
+    w = 1.0 + k * (du * du + dv * dv)
+    return jnp.stack([cx + w * du, cy + w * dv])
+
+
+def _p2ci_xyz_lo_residual(states, z):
+    cam, lm, intr = states
+    return z - _project_sim3_intr(cam, intr, lm)
+
+
+EDGE_P2CI_XYZ_SIM3 = edge_type(
+    "edge_p2ci_xyz_sim3", ("cam_sim3", "xyz", "intrinsics"), 2, 2,
+    _p2ci_xyz_lo_residual)
+
+
+def _angle_err_residual(states, z):
+    """Angle-error variant (reference's *_AngleErr edges): 1D angular
+    difference between the observation ray (z = normalized image coords)
+    and the predicted camera-frame ray."""
+    owner, lm = states
+    x = sim3.transform_point(owner[:7], lm)
+    ray = x / jnp.linalg.norm(x)
+    obs = jnp.concatenate([z, jnp.ones(1)])
+    obs = obs / jnp.linalg.norm(obs)
+    c = jnp.clip(jnp.dot(ray, obs), -1.0, 1.0)
+    return jnp.arccos(c)[None]
+
+
+EDGE_P2C_XYZ_ANGLE = edge_type("edge_p2c_xyz_angle", ("cam_sim3", "xyz"),
+                               1, 2, _angle_err_residual)

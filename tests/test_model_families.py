@@ -115,3 +115,62 @@ def test_sim3_pose_graph():
     chi2_0 = gn.chi2()
     chi2, iters = gn.optimize(10)
     assert chi2 < chi2_0 * 0.05  # large reduction
+
+
+def test_sim3_invdist_ba():
+    """Inverse-distance Sim3 BA (LS + LO edges) converges."""
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.graph.system import GraphSystem
+    from slam_plus_plus_tpu.manifolds import sim3
+    from slam_plus_plus_tpu.models.sim3_types import _project_sim3
+    from slam_plus_plus_tpu.solvers.lm import LevenbergMarquardtSolver
+
+    rng = np.random.default_rng(55)
+    intr = [500.0, 500.0, 320.0, 240.0, 0.0]
+    cams = [np.concatenate([[0.3 * i, 0, 0], [0, 0.02 * i, 0], [1.0], intr])
+            for i in range(3)]
+    pts = rng.uniform(-1, 1, (20, 3)) + [0, 0, 4]
+    system = GraphSystem()
+    for i, c in enumerate(cams):
+        system.add_vertex(i, "cam_sim3", c)
+
+    def proj(c, p):
+        return np.asarray(_project_sim3(jnp.asarray(c), jnp.asarray(p)))
+
+    for p in range(20):
+        x = np.asarray(sim3.transform_point(jnp.asarray(cams[0][:7]),
+                                            jnp.asarray(pts[p])))
+        d = np.linalg.norm(x)
+        q = 1.0 / d * (1 + rng.normal(0, 0.02))
+        system.add_vertex(3 + p, "inv_dist4", np.concatenate([x / d, [q]]))
+        for ci in range(3):
+            uv = proj(cams[ci], pts[p]) + rng.normal(0, 0.3, 2)
+            if ci == 0:
+                system.add_edge("edge_p2c_invdist_ls", (0, 3 + p), uv, np.eye(2))
+            else:
+                system.add_edge("edge_p2c_invdist_lo", (0, ci, 3 + p), uv,
+                                np.eye(2))
+    lm = LevenbergMarquardtSolver(system)
+    chi2_0 = lm.chi2()
+    chi2, _ = lm.optimize(10)
+    assert chi2 < chi2_0 * 0.5
+    assert chi2 < 25.0  # near the 2-dof-per-obs noise floor
+
+
+def test_sim3_angle_error_edge():
+    """1D angle-error reprojection edge: zero at ground truth, positive
+    gradient structure under perturbation."""
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.models.types import EDGE_TYPES
+
+    et = EDGE_TYPES["edge_p2c_xyz_angle"]
+    cam = jnp.asarray(np.concatenate([[0.1, -0.2, 0.0], [0, 0.05, 0], [1.0],
+                                      [500.0, 500.0, 320.0, 240.0, 0.0]]))
+    pt = jnp.asarray([0.3, 0.2, 5.0])
+    from slam_plus_plus_tpu.manifolds import sim3 as m
+    x = np.asarray(m.transform_point(cam[:7], pt))
+    z = jnp.asarray(x[:2] / x[2])
+    r0 = float(et.residual((cam, pt), z)[0])
+    assert abs(r0) < 1e-6
+    r1 = float(et.residual((cam, pt + 0.3), z)[0])
+    assert r1 > 0.01
