@@ -288,6 +288,20 @@ class Assembler:
         for plan in self.plans:
             self._kernels[plan.name] = self._make_kernel(plan)
 
+        # fused Pallas kernels for hot edge types (currently P2C — the BA
+        # flagship); auto-enabled on TPU f32, interpret-mode elsewhere when
+        # forced via config.use_pallas
+        self._pallas_plans = ()
+        use_pallas = getattr(self.config, "use_pallas", "auto")
+        pallas_ok = (use_pallas == "on" or
+                     (use_pallas == "auto" and
+                      jax.default_backend() == "tpu" and
+                      self.dtype == jnp.float32))
+        if pallas_ok:
+            self._pallas_plans = tuple(
+                p.name for p in self.plans
+                if p.name == "edge_p2c" and self.Bp == 6 and self.Bl == 3)
+
         # permutation-gather tables for single-contributor reductions
         self._pp_gather = self._build_gather(
             [s for plan in self.plans for (_a, _b, s, _w) in plan.pp_contribs],
@@ -427,8 +441,12 @@ class Assembler:
             et = EDGE_TYPES[plan.name]
             gathered = tuple(states[t][data["slot_local"][k]]
                              for k, t in enumerate(et.vertex_types))
-            chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = self._kernels[plan.name](
-                gathered, data["z"], data["info"])
+            if plan.name in getattr(self, "_pallas_plans", ()):
+                chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = self._pallas_edge_terms(
+                    plan, gathered, data)
+            else:
+                chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = self._kernels[plan.name](
+                    gathered, data["z"], data["info"])
 
             chi2 = chi2 + jnp.sum(chi2_e)
             max_hdiag = jnp.maximum(max_hdiag, jnp.max(hdiag_e))
@@ -465,6 +483,35 @@ class Assembler:
         pl = self._reduce_contribs(pl_chunks, pl_segids, max(self.Kpl, 1),
                                    Bp * Bl, dt, "_pl_gather")
         return pp, pl, ll, eta_p, eta_l, chi2, max_hdiag
+
+    def _pallas_edge_terms(self, plan, gathered, data):
+        """Fused Pallas path for P2C: transpose/pad, run the kernel,
+        transpose back to the generic contribution signature."""
+        from slam_plus_plus_tpu.ops.pallas_p2c import TILE, p2c_edge_terms
+        E = plan.E
+        Epad = ((E + TILE - 1) // TILE) * TILE
+        pad = Epad - E
+
+        def prep(x, d):
+            x = x.reshape(E, d)
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+            return x.T
+
+        cam_t = prep(gathered[0], 11)
+        pt_t = prep(gathered[1], 3)
+        z_t = prep(data["z"], 2)
+        info_t = prep(data["info"].reshape(E, 4), 4)
+        interpret = jax.default_backend() != "tpu"
+        chi2_t, hdiag_t, gc_t, gp_t, hcc_t, hcp_t, hpp_t = p2c_edge_terms(
+            cam_t, pt_t, z_t, info_t, interpret=interpret)
+        chi2_e = chi2_t[0, :E]
+        hdiag_e = hdiag_t[0, :E]
+        gs = (gc_t[:, :E].T, gp_t[:, :E].T)
+        Hpp = (hcc_t[:, :E].T,)
+        Hpl = (hcp_t[:, :E].T,)
+        Hll = (hpp_t[:, :E].T,)
+        return chi2_e, hdiag_e, gs, Hpp, Hll, Hpl
 
     def _reduce_contribs(self, chunks, segids, K, d, dt, gather_attr):
         """Sum contribution chunks into K planar blocks.

@@ -74,6 +74,7 @@ class SolverConfig:
     linear_solver: str = "auto"      # auto | dense | block_cholesky | schur | scipy
     use_schur: bool = False
     dtype: Optional[object] = None   # None = default_dtype()
+    use_pallas: str = "auto"         # auto | on | off — fused TPU edge kernels
     refine_iterations: int = 2       # iterative-refinement sweeps for f32 solves
     incremental: IncrementalPolicy = dataclasses.field(default_factory=IncrementalPolicy)
     marginals: MarginalsPolicy = dataclasses.field(default_factory=MarginalsPolicy)
