@@ -34,7 +34,14 @@ from slam_plus_plus_tpu.linalg.dense import solve_dense_spd
 from slam_plus_plus_tpu.linalg.host_solver import HostSparseSolver
 from slam_plus_plus_tpu.linalg.schur import SchurSolver
 
-_DENSE_LIMIT = 6000  # scalar dims below which the direct dense path is used
+def _dense_limit():
+    """Scalar dims below which the direct dense MXU path is used: the TPU
+    factors a 20k-dim dense system in ~ms; host sparse fallback only pays
+    beyond that."""
+    import jax
+    return 20000 if jax.default_backend() == "tpu" else 6000
+
+
 
 
 class GaussNewtonSolver:
@@ -60,7 +67,7 @@ class GaussNewtonSolver:
         self._dense_direct = (not use_schur and
                               (self.config.linear_solver == "dense" or
                                (self.config.linear_solver == "auto" and
-                                n_scalar <= _DENSE_LIMIT)))
+                                n_scalar <= _dense_limit())))
         if self._dense_direct:
             # rows/cols stay host-side numpy: static scatter structure
             self._dense_solve_jit = jax.jit(

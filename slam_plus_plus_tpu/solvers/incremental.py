@@ -39,7 +39,9 @@ from slam_plus_plus_tpu.linalg.host_solver import HostSparseSolver
 from slam_plus_plus_tpu.linalg.schur import SchurSolver
 from slam_plus_plus_tpu.models.types import EDGE_TYPES
 
-_DENSE_LIMIT = 6000
+def _dense_limit():
+    import jax
+    return 20000 if jax.default_backend() == "tpu" else 6000
 
 
 class IncrementalSolver:
@@ -81,7 +83,7 @@ class IncrementalSolver:
         use_schur = asm.Nl > 0 and asm.Kpl > 0
         self._schur = SchurSolver(asm) if use_schur else None
         self._host = HostSparseSolver() if not use_schur else None
-        self._dense_direct = (not use_schur and asm.Np * asm.Bp <= _DENSE_LIMIT)
+        self._dense_direct = (not use_schur and asm.Np * asm.Bp <= _dense_limit())
         if self._dense_direct:
             self._dense_solve_jit = jax.jit(
                 lambda bs: solve_dense_spd(asm.pp_rows, asm.pp_cols,

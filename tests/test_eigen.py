@@ -42,3 +42,16 @@ def test_lobpcg_path(tmp_path):
     w, V = sym_eigs(asm, bs, k=3, which="LM")
     ref = np.sort(np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs))))[::-1]
     assert np.allclose(np.abs(np.asarray(w)), ref[:3], rtol=1e-4)
+
+
+def test_nested_schur_analysis(tmp_path):
+    from slam_plus_plus_tpu.linalg.nested_schur import nested_schur_analysis
+    gp, gl, pe, le = D.make_landmark_2d(n_poses=80, n_landmarks=30, seed=73)
+    p = str(tmp_path / "ns.txt")
+    D.write_g2o_landmark_2d(p, pe, le)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    report = nested_schur_analysis(asm)
+    assert report[0]["kind"] == "landmarks"
+    assert report[0]["eliminated"] == asm.Nl
+    assert len(report) >= 2  # at least one bisection level
