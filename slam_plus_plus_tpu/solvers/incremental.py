@@ -93,6 +93,30 @@ class IncrementalSolver:
         self._build_replay_plan()
         self._activate_fns: Dict[Tuple[str, int], callable] = {}
 
+        # fastl mode: ONE fused jitted step (assemble+solve+update), no host
+        # synchronization — steps stream asynchronously to the device, which
+        # matters enormously when dispatch latency is high (remote TPU)
+        self._fused_step = None
+        if self.mode == "fastl" and (self._schur is not None or
+                                     self._dense_direct):
+            def fused(states, edge_data, counts, nap, nal):
+                bs = self.asm._assemble_active_impl(states, edge_data,
+                                                    counts, nap, nal)
+                if self._schur is not None:
+                    dx_p, dx_l = self._schur._solve_dense_impl(bs)
+                else:
+                    dx_p = solve_dense_spd(asm.pp_rows, asm.pp_cols,
+                                           bs.pp_blocks, bs.eta_p,
+                                           asm.Np, asm.Bp)
+                    dx_l = jnp.zeros((max(asm.Nl, 1), asm.Bl),
+                                     dtype=bs.eta_p.dtype)
+                # guard non-finite steps without host sync
+                ok = jnp.isfinite(jnp.sum(dx_p)) & jnp.isfinite(jnp.sum(dx_l))
+                okf = ok.astype(dx_p.dtype)
+                return self.asm._update_impl(states, dx_p * okf, dx_l * okf)
+
+            self._fused_step = jax.jit(fused)
+
     # ------------------------------------------------------------------
 
     def _build_replay_plan(self) -> None:
@@ -229,9 +253,15 @@ class IncrementalSolver:
                               for n in asm.edge_data}
                     nap = int(self._p_prefix[n_active])
                     nal = int(self._l_prefix[n_active])
-                    states, it = self._optimize(
-                        states, counts, nap, nal,
-                        self.max_iterations, self.dx_threshold)
+                    if self._fused_step is not None:
+                        # async streaming: no host sync inside the loop
+                        states = self._fused_step(states, asm.edge_data,
+                                                  counts, nap, nal)
+                        it = 1
+                    else:
+                        states, it = self._optimize(
+                            states, counts, nap, nal,
+                            self.max_iterations, self.dx_threshold)
                     total_iters += it
                     n_solves += 1
                     if verbose and n_solves % 200 == 0:
