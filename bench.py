@@ -95,11 +95,11 @@ def main():
 
     final_chi2 = float(chi2)
     if final_chi2 > REF_FINAL_CHI2 * 1.05:
-        print(f"WARNING: chi2 {final_chi2:.1f} exceeds 1.05x reference "
+        print(f"FAIL: chi2 {final_chi2:.1f} exceeds 1.05x reference "
               f"{REF_FINAL_CHI2:.1f}", file=sys.stderr)
-    else:
-        print(f"chi2 after {TIMED_STEPS} steps: {final_chi2:.1f} "
-              f"(reference converged: {REF_FINAL_CHI2:.1f})", file=sys.stderr)
+        sys.exit(1)
+    print(f"chi2 after {TIMED_STEPS} steps: {final_chi2:.1f} "
+          f"(reference converged: {REF_FINAL_CHI2:.1f})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "ba_solve_iter",

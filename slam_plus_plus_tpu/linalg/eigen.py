@@ -79,11 +79,43 @@ def sym_eigs(asm, bs, k: int = 6, which: str = "LM",
 
 
 def condition_estimate(asm, bs) -> float:
-    """max|eig| / min|eig| — the reference's gauge/conditioning analysis."""
+    """max|eig| / min|eig| — the reference's gauge/conditioning analysis.
+
+    Large systems stay matrix-free: LOBPCG gives the largest eigenvalue
+    w_hi directly; the smallest comes from shift-invert — LOBPCG on
+    A^-1 with the inner solves done by matrix-free CG over the planar
+    block SpMV.  This is the TPU formulation of the reference's
+    shift-invert mode (CSymEigsShiftSolver, Eigenvalues.h:378)."""
     n = asm.Np * asm.Bp + asm.Nl * asm.Bl
     if n <= _DENSE_LIMIT:
         w = np.linalg.eigvalsh(_dense_lambda(asm, bs))
         return float(np.abs(w).max() / max(np.abs(w).min(), 1e-300))
     w_hi, _ = sym_eigs(asm, bs, k=1, which="LM")
-    w = np.linalg.eigvalsh(_dense_lambda(asm, bs))  # fallback exact
-    return float(np.abs(w).max() / max(np.abs(w).min(), 1e-300))
+    hi = float(np.abs(w_hi[0]))
+
+    Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+    n_p = Np * Bp
+
+    def matvec(col):
+        v_p = col[:n_p].reshape(Np, Bp)
+        v_l = (col[n_p:].reshape(Nl, Bl) if Nl
+               else jnp.zeros((1, Bl), dtype=col.dtype))
+        o_p, o_l = lambda_spmv(asm, bs, v_p, v_l)
+        parts = [o_p.reshape(-1)]
+        if Nl:
+            parts.append(o_l.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def inv_matvec(X):  # A^-1 X via CG, columnwise
+        def one(col):
+            x, _ = jax.scipy.sparse.linalg.cg(matvec, col, tol=1e-9,
+                                              maxiter=4 * n)
+            return x
+        return jax.vmap(one, in_axes=1, out_axes=1)(X)
+
+    from jax.experimental.sparse.linalg import lobpcg_standard
+    rng = np.random.default_rng(1)
+    X0 = jnp.asarray(rng.normal(0, 1, (n, 1)), dtype=bs.eta_p.dtype)
+    w_inv, _, _ = lobpcg_standard(jax.jit(inv_matvec), X0, m=25)
+    lo = 1.0 / float(w_inv[0])
+    return float(hi / max(abs(lo), 1e-300))

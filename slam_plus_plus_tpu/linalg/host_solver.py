@@ -2,8 +2,9 @@
 
 Fills the role of the reference's CSparse/CXSparse/CHOLMOD elementwise
 backends (reference include/slam/LinearSolver_CSparse.h:49 etc.): a trusted
-verification oracle and a CPU fallback while the device supernodal Cholesky
-handles the performance path.
+verification oracle and a CPU fallback while the device partitioned
+nested-Schur Cholesky (linalg/block_cholesky.py) handles the performance
+path.
 """
 
 from __future__ import annotations
@@ -19,12 +20,40 @@ class HostSparseSolver:
     """splu-based SPD solve with symbolic reuse across iterations.
 
     Reference analogue: CLinearSolver_UberBlock keeps the symbolic
-    factorization (ordering + etree) across calls
-    (reference include/slam/LinearSolver_UberBlock.h:272).
+    factorization (fill-reducing ordering + etree) across calls
+    (reference include/slam/LinearSolver_UberBlock.h:272).  SuperLU does not
+    expose numeric-only refactorization, so the reusable symbolic artifact
+    here is the fill-reducing column ordering: computed once per sparsity
+    pattern (COLAMD, via the first splu call), then re-applied as an explicit
+    pre-permutation with ``permc_spec="NATURAL"`` on later factorizations of
+    the same pattern.
     """
 
     def __init__(self):
-        self._cached_pattern_key = None
+        self._pattern_key = None
+        self._perm_c = None
+
+    def _factor(self, A: sp.csc_matrix):
+        key = (A.shape[0], A.nnz, hash(A.indices.tobytes()),
+               hash(A.indptr.tobytes()))
+        if self._pattern_key != key:
+            lu = spla.splu(A)
+            self._perm_c = lu.perm_c
+            self._pattern_key = key
+            return lu, None
+        # same pattern: reuse the cached fill-reducing ordering
+        perm = self._perm_c
+        lu = spla.splu(A[:, perm].tocsc(), permc_spec="NATURAL")
+        return lu, perm
+
+    def _solve_csc(self, A: sp.csc_matrix, rhs: np.ndarray) -> np.ndarray:
+        lu, perm = self._factor(A)
+        x = lu.solve(rhs)
+        if perm is not None:
+            out = np.empty_like(x)
+            out[perm] = x
+            return out
+        return x
 
     def solve_partitioned(self, asm, system):
         """Solve the full [[Hpp,Hpl],[Hpl^T,Hll]] system on host.
@@ -39,7 +68,7 @@ class HostSparseSolver:
             np.asarray(system.ll_blocks) if Nl else None, Nl, Bl)
         rhs = np.concatenate([np.asarray(system.eta_p).ravel()[:Np * Bp],
                               np.asarray(system.eta_l).ravel()[:Nl * Bl]])
-        x = spla.spsolve(A.tocsc(), rhs)
+        x = self._solve_csc(A.tocsc(), rhs)
         dx_p = x[:Np * Bp].reshape(Np, Bp)
         dx_l = (x[Np * Bp:].reshape(Nl, Bl) if Nl else
                 np.zeros((max(Nl, 1), Bl)))
@@ -48,5 +77,5 @@ class HostSparseSolver:
     def solve_blocks(self, rows, cols, blocks, rhs, Np, Bp):
         """Solve a single uniform block-sparse SPD system (upper pairs)."""
         A = partitioned_to_scipy(rows, cols, np.asarray(blocks), Np, Bp)
-        x = spla.spsolve(A.tocsc(), np.asarray(rhs).ravel())
-        return x.reshape(Np, Bp)
+        return self._solve_csc(A.tocsc(),
+                               np.asarray(rhs).ravel()).reshape(Np, Bp)

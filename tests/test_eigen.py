@@ -55,3 +55,12 @@ def test_nested_schur_analysis(tmp_path):
     assert report[0]["kind"] == "landmarks"
     assert report[0]["eliminated"] == asm.Nl
     assert len(report) >= 2  # at least one bisection level
+
+
+def test_condition_estimate_matrix_free(tmp_path):
+    from slam_plus_plus_tpu.linalg.eigen import condition_estimate
+    asm, bs = _build(700, 74, tmp_path)  # 2100 dims > _DENSE_LIMIT
+    kappa = condition_estimate(asm, bs)
+    w = np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs)))
+    ref = float(w.max() / w.min())
+    assert kappa == pytest.approx(ref, rel=0.05)

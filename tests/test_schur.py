@@ -69,3 +69,32 @@ def test_schur_residual(system):
     b = np.concatenate([np.asarray(bs.eta_p).ravel(), np.asarray(bs.eta_l).ravel()])
     res = np.abs(A @ x - b).max() / max(np.abs(b).max(), 1.0)
     assert res < 1e-8
+
+
+def test_host_solver_symbolic_reuse(system):
+    """Repeated solves of the same sparsity pattern must reuse the cached
+    fill-reducing ordering (reference keeps the symbolic factorization
+    across calls, LinearSolver_UberBlock.h:272) and stay correct."""
+    asm = Assembler(system)
+    states = asm.snapshot_states(system)
+    bs = asm.assemble(states)
+    from slam_plus_plus_tpu.solvers.lm import damp_system
+    bs = damp_system(bs, float(bs.max_hdiag) * 1e-3, asm.pp_diag_ids_dev)
+
+    host = HostSparseSolver()
+    p1, l1 = host.solve_partitioned(asm, bs)
+    assert host._pattern_key is not None
+    key_after_first = host._pattern_key
+    perm = host._perm_c
+
+    # second solve, same pattern different values: ordering must be reused
+    bs2 = damp_system(bs, float(bs.max_hdiag) * 1e-2, asm.pp_diag_ids_dev)
+    p2, l2 = host.solve_partitioned(asm, bs2)
+    assert host._pattern_key == key_after_first
+    assert host._perm_c is perm
+
+    # correctness of the reuse path vs a fresh solver
+    fresh = HostSparseSolver()
+    p2f, l2f = fresh.solve_partitioned(asm, bs2)
+    assert np.abs(p2 - p2f).max() < 1e-8
+    assert np.abs(l2 - l2f).max() < 1e-8
