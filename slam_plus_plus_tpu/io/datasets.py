@@ -70,6 +70,61 @@ def make_manhattan_2d(n_poses=600, step=1.0, trans_noise=0.05, rot_noise=0.02,
     return poses, edges
 
 
+def make_city_2d(n_poses=10000, step=1.0, trans_noise=0.05, rot_noise=0.02,
+                 loop_prob=0.25, loop_radius=1.5, seed=0):
+    """Large-scale 2D pose graph (city10k/w100K class): grid random walk
+    with O(n) spatially-bucketed loop-closure search.  Returns
+    (gt_poses [N,3], edges) like make_manhattan_2d."""
+    rng = np.random.default_rng(seed)
+    poses = np.zeros((n_poses, 3))
+    heading = 0.0
+    pos = np.zeros(2)
+    # confine the walk to a box so revisits (closures) happen at any scale
+    box = max(20.0, 1.2 * np.sqrt(n_poses))
+    for i in range(1, n_poses):
+        if rng.random() < 0.25:
+            heading = _wrap(heading + rng.choice([-1, 1]) * np.pi / 2)
+        nxt = pos + step * np.array([np.cos(heading), np.sin(heading)])
+        if np.abs(nxt).max() > box:
+            heading = _wrap(heading + np.pi / 2)
+            nxt = pos + step * np.array([np.cos(heading), np.sin(heading)])
+        pos = nxt
+        poses[i] = [pos[0], pos[1], heading]
+
+    info_t = 1.0 / (trans_noise ** 2)
+    info_r = 1.0 / (rot_noise ** 2)
+    info = np.diag([info_t, info_t, info_r])
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                         _wrap(b[2] - a[2])])
+
+    edges = []
+    for i in range(n_poses - 1):
+        z = rel(poses[i], poses[i + 1])
+        z[:2] += rng.normal(0, trans_noise, 2)
+        z[2] = _wrap(z[2] + rng.normal(0, rot_noise))
+        edges.append((i, i + 1, z, info))
+
+    # closures: spatial hash of cell -> most recent pose seen there
+    cell_last = {}
+    for j in range(n_poses):
+        key = (int(np.floor(poses[j, 0] / loop_radius)),
+               int(np.floor(poses[j, 1] / loop_radius)))
+        prev = cell_last.get(key)
+        if (prev is not None and j - prev > 10 and
+                rng.random() < loop_prob):
+            i = prev
+            z = rel(poses[i], poses[j])
+            z[:2] += rng.normal(0, trans_noise, 2)
+            z[2] = _wrap(z[2] + rng.normal(0, rot_noise))
+            edges.append((i, j, z, info))
+        cell_last[key] = j
+    return poses, edges
+
+
 def write_g2o_2d(path, edges, poses=None):
     """Write a SLAM++-dialect 2D file (EDGE2 with upper-tri info).
 

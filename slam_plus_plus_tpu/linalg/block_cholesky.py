@@ -1,0 +1,410 @@
+"""Device-scalable sparse block Cholesky: nested MIS-Schur elimination.
+
+Fills the role of the reference's native block Cholesky linear solver —
+CLinearSolver_UberBlock's elimination-tree factorization with a fill-reducing
+block ordering and symbolic reuse across calls (reference
+include/slam/LinearSolver_UberBlock.h:45,216,272;
+include/slam/BlockMatrix.h:3663-3707; AMD ordering
+include/slam/OrderingMagic.h:319) — redesigned for the TPU instead of being
+ported:
+
+  * The *ordering* and the *parallel schedule* are the same object: each
+    level eliminates a maximal independent set (MIS) of low-degree block
+    vertices.  By independence their pivot submatrix is exactly block
+    diagonal, so the whole level's elimination is one batched planar inverse
+    plus batched planar block products — no elimination tree traversal, no
+    per-column sequencing.  (The reference itself computes MIS orderings for
+    its Schur research, CSchurOrdering::t_MIS*, LinearSolver_Schur.h:378;
+    here the *nested* MIS Schur complement IS the factorization.)
+  * Degree-capped greedy-by-degree MIS selection approximates the fill
+    behavior of minimum degree while exposing maximal batch parallelism.
+  * After O(log n) levels the reduced system is small; it is scattered dense
+    and factored by one MXU Cholesky (the reference's own dense-Schur default
+    for reduced systems, __SCHUR_USE_DENSE_SOLVER, LinearSolver_Schur.h:49).
+  * The symbolic plan (per-level index arrays) is built once per sparsity
+    pattern on host and reused across iterations/steps — the analogue of
+    SymbolicDecomposition_Blocky symbolic reuse.
+
+The factorization artifacts per level — the block-diagonal pivot inverses
+C^-1 and the coupling products W = U C^-1 — double as the data needed for
+repeated solves and for recurrent marginal recovery (the Takahashi recurrence
+closes over exactly the fill pattern the plan already enumerates).
+
+All block storage is PLANAR [K, B*B] (see ops/planar.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slam_plus_plus_tpu.ops import planar
+
+
+# ----------------------------------------------------------------------
+# symbolic phase (host)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Level:
+    """Host index arrays for one elimination level (all numpy)."""
+    n: int                    # vertices entering this level
+    n_next: int               # vertices remaining after elimination
+    n_elim: int
+    K: int                    # pairs entering this level
+    K_next: int               # pairs remaining (carry + fill)
+    elim_orig: np.ndarray     # [nE] level ids of eliminated vertices
+    rest_orig: np.ndarray     # [n_next] level ids of surviving vertices
+    elim_diag_idx: np.ndarray  # [nE] pair index of (e,e) in this level
+    u_src: np.ndarray         # [Ku] pair index of each coupling block
+    u_flip: np.ndarray        # [Ku] bool: stored as (elim,rest) -> transpose
+    u_elim: np.ndarray        # [Ku] compact elim id
+    u_rest_next: np.ndarray   # [Ku] compact next-level id of the rest vertex
+    pa: np.ndarray            # [T] index into W for fill products
+    pb: np.ndarray            # [T] index into U for fill products
+    p_flip: np.ndarray        # [T] bool: transpose product before scatter
+    p_dst: np.ndarray         # [T] destination pair index in next level
+    carry_src: np.ndarray     # [Kc] pair index in this level
+    carry_dst: np.ndarray     # [Kc] pair index in next level
+
+
+class SymbolicPlan:
+    """MIS-Schur elimination plan for a fixed block sparsity pattern.
+
+    Built once per pattern (reference: SymbolicDecomposition_Blocky,
+    LinearSolver_UberBlock.h:272); `factor`/`solve` reuse it every call.
+    """
+
+    def __init__(self, rows: np.ndarray, cols: np.ndarray, N: int, B: int,
+                 bottom: int = 512, max_degree: int = 16,
+                 max_levels: int = 64, dense_cap: int = 32000):
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        if np.any(rows > cols):
+            raise ValueError("pattern must be upper pairs (row <= col)")
+        self.N, self.B = int(N), int(B)
+        self.levels: List[_Level] = []
+
+        # current level pattern: sorted unique keys r*n + c (r <= c) and the
+        # mapping from original pair order (level 0 = caller's order)
+        n = int(N)
+        keys = rows * n + cols
+        order = np.argsort(keys)
+        keys = keys[order]
+        if np.any(keys[1:] == keys[:-1]):
+            raise ValueError("duplicate pairs in pattern")
+        self.input_perm = order  # caller blocks -> level-0 storage order
+
+        dense_cap_blocks = max(bottom, dense_cap // B)
+        while n > bottom and len(self.levels) < max_levels:
+            # stop when elimination stops paying: the remaining system is
+            # dense-ish (fill) or progress is marginal — the dense MXU bottom
+            # is cheaper than more scatter levels (the reference's own
+            # dense-solver default for reduced systems).  On grid-like pose
+            # graphs MIS clears ~90% of the vertices in 10-20 levels; the
+            # remaining separator core is exactly the part that WANTS the
+            # MXU as one dense factorization.
+            density = len(keys) / (n * (n + 1) / 2)
+            if density > 0.25 and n <= dense_cap_blocks:
+                break
+            lvl, keys, n_next = self._build_level(keys, n, max_degree)
+            if lvl is None:
+                break  # no progress possible (degree cap)
+            self.levels.append(lvl)
+            stalled = lvl.n_elim < max(16, 0.05 * n)
+            n = n_next
+            if stalled and n <= dense_cap_blocks:
+                break
+        if n * B > max(dense_cap, 40000):
+            raise ValueError(
+                f"elimination stalled with a {n * B}-dim reduced system; "
+                f"graph too dense for the MIS-Schur engine (raise max_degree "
+                f"or use the Schur/landmark path)")
+
+        # bottom: dense scatter plan for the remaining pattern
+        self.n_bottom = n
+        r = keys // n
+        c = keys % n
+        self._bottom_idx = planar.scatter_flat_indices(
+            r, c, B, B, row_stride=n * B)
+        off = r != c
+        self._bottom_idx_t = planar.scatter_flat_indices(
+            c, r, B, B, row_stride=n * B)
+        self._bottom_off = off.astype(np.float64)
+        self._tperm = [i * B + j for j in range(B) for i in range(B)]
+
+    # -- host helpers ---------------------------------------------------
+
+    @staticmethod
+    def _build_level(keys: np.ndarray, n: int, max_degree: int):
+        r = keys // n
+        c = keys % n
+        offd = r != c
+        orr, occ = r[offd], c[offd]
+
+        # adjacency (CSR) over off-diagonal pairs
+        deg = np.bincount(orr, minlength=n) + np.bincount(occ, minlength=n)
+        heads = np.concatenate([orr, occ])
+        tails = np.concatenate([occ, orr])
+        adj_order = np.argsort(heads, kind="stable")
+        adj = tails[adj_order]
+        adj_start = np.concatenate([[0], np.cumsum(np.bincount(heads,
+                                                               minlength=n))])
+
+        # greedy MIS by ascending degree.  The cap adapts to the current
+        # degree distribution (fill raises degrees level by level — a fixed
+        # cap stalls): eliminating the below-median-degree independent set
+        # approximates minimum-degree fill behavior while keeping ~35-45%
+        # of vertices per level in the batch.
+        cap = max(max_degree, int(1.5 * np.median(deg)) + 1)
+        elim_mask = np.zeros(n, dtype=bool)
+        blocked = np.zeros(n, dtype=bool)
+        for _ in range(8):
+            vorder = np.argsort(deg, kind="stable")
+            for v in vorder:
+                if blocked[v] or deg[v] > cap:
+                    continue
+                elim_mask[v] = True
+                blocked[v] = True
+                blocked[adj[adj_start[v]:adj_start[v + 1]]] = True
+            if elim_mask.any():
+                break
+            cap *= 2  # all degrees above cap: relax (guarantees progress)
+        if not elim_mask.any():
+            return None, keys, n
+
+        elim_orig = np.flatnonzero(elim_mask)
+        rest_orig = np.flatnonzero(~elim_mask)
+        n_elim, n_next = len(elim_orig), len(rest_orig)
+        rest_map = np.full(n, -1, dtype=np.int64)
+        rest_map[rest_orig] = np.arange(n_next)
+        elim_map = np.full(n, -1, dtype=np.int64)
+        elim_map[elim_orig] = np.arange(n_elim)
+
+        # diagonal pair index per eliminated vertex
+        diag_keys = elim_orig * n + elim_orig
+        elim_diag_idx = np.searchsorted(keys, diag_keys)
+        assert np.array_equal(keys[elim_diag_idx], diag_keys), \
+            "missing diagonal pair for eliminated vertex"
+
+        # coupling (U) pairs: exactly one endpoint eliminated (both is
+        # impossible by independence)
+        er, ec = elim_mask[r], elim_mask[c]
+        is_u = (er ^ ec) & offd
+        u_src = np.flatnonzero(is_u)
+        u_flip = er[u_src]  # stored (elim, rest): need B_{rest,elim} = ^T
+        u_elim_v = np.where(u_flip, r[u_src], c[u_src])
+        u_rest_v = np.where(u_flip, c[u_src], r[u_src])
+        # group U by eliminated vertex for fill-pair generation
+        gorder = np.argsort(u_elim_v, kind="stable")
+        u_src = u_src[gorder]
+        u_flip = u_flip[gorder]
+        u_elim_v = u_elim_v[gorder]
+        u_rest_v = u_rest_v[gorder]
+        u_elim = elim_map[u_elim_v]
+        u_rest_next = rest_map[u_rest_v]
+
+        # carry pairs: both endpoints survive
+        is_carry = ~er & ~ec
+        carry_src = np.flatnonzero(is_carry)
+        carry_keys = rest_map[r[carry_src]] * n_next + rest_map[c[carry_src]]
+
+        # fill products: per eliminated vertex, all (i<=j) pairs of its
+        # incident U blocks; vectorized by grouping on the (small, capped)
+        # group size d
+        counts = np.bincount(u_elim, minlength=n_elim)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pa_l, pb_l = [], []
+        for d in np.unique(counts):
+            if d == 0:
+                continue
+            gsel = np.flatnonzero(counts == d)
+            ii, jj = np.triu_indices(d)
+            base = starts[gsel][:, None]
+            pa_l.append((base + ii[None, :]).ravel())
+            pb_l.append((base + jj[None, :]).ravel())
+        if pa_l:
+            pa = np.concatenate(pa_l)
+            pb = np.concatenate(pb_l)
+        else:
+            pa = np.zeros(0, dtype=np.int64)
+            pb = np.zeros(0, dtype=np.int64)
+        ra = u_rest_next[pa]
+        rb = u_rest_next[pb]
+        p_flip = ra > rb
+        fill_keys = np.where(p_flip, rb * n_next + ra, ra * n_next + rb)
+
+        next_keys = np.unique(np.concatenate([carry_keys, fill_keys]))
+        carry_dst = np.searchsorted(next_keys, carry_keys)
+        p_dst = np.searchsorted(next_keys, fill_keys)
+
+        lvl = _Level(
+            n=n, n_next=n_next, n_elim=n_elim, K=len(keys),
+            K_next=len(next_keys),
+            elim_orig=elim_orig, rest_orig=rest_orig,
+            elim_diag_idx=elim_diag_idx,
+            u_src=u_src, u_flip=u_flip, u_elim=u_elim,
+            u_rest_next=u_rest_next,
+            pa=pa, pb=pb, p_flip=p_flip, p_dst=p_dst,
+            carry_src=carry_src, carry_dst=carry_dst)
+        return lvl, next_keys, n_next
+
+
+# ----------------------------------------------------------------------
+# numeric phase (device, jit-able with the plan closed over)
+# ----------------------------------------------------------------------
+
+class BlockCholeskyFactor(NamedTuple):
+    """Factorization artifacts: per-level (c_inv, W) + dense bottom factor."""
+    c_invs: Tuple[jnp.ndarray, ...]   # [nE_k, B*B] each
+    Ws: Tuple[jnp.ndarray, ...]       # [Ku_k, B*B] each
+    L_bottom: jnp.ndarray             # [nb*B, nb*B] lower Cholesky
+
+
+class BlockCholeskySolver:
+    """Sparse block SPD solver with cached symbolic plan.
+
+    Usage:
+        solver = BlockCholeskySolver(rows, cols, N, B)
+        dx = solver.solve(blocks_planar, eta)          # factor + solve
+        f = solver.factor(blocks_planar)               # reuse across rhs
+        dx = solver.solve_with_factor(f, eta)
+    """
+
+    def __init__(self, rows, cols, N: int, B: int, bottom: int = 512,
+                 max_degree: int = 16, dense_cap: int = 32000):
+        self.plan = SymbolicPlan(rows, cols, N, B, bottom=bottom,
+                                 max_degree=max_degree, dense_cap=dense_cap)
+        self.N, self.B = int(N), int(B)
+        self._solve_jit = jax.jit(self._factor_solve_impl)
+        self._factor_jit = jax.jit(self._factor_impl)
+        self._solve_with_factor_jit = jax.jit(self._solve_with_factor_impl)
+
+    # -- numeric kernels -------------------------------------------------
+
+    def _descend(self, H, eta, collect):
+        """Run the elimination levels; returns bottom (H, eta) and artifacts."""
+        B = self.B
+        c_invs, Ws, etas = [], [], []
+        for lv in self.plan.levels:
+            c_inv = planar.binv(H[lv.elim_diag_idx], B)
+            U0 = H[lv.u_src]
+            U = jnp.where(jnp.asarray(lv.u_flip)[:, None],
+                          planar.btranspose(U0, B, B), U0)
+            W = planar.bmm(U, c_inv[lv.u_elim], B, B, B)
+
+            eta_E = eta[lv.elim_orig]
+            corr = planar.bmv(W, eta_E[lv.u_elim], B, B)
+            eta = eta[lv.rest_orig] - jax.ops.segment_sum(
+                corr, jnp.asarray(lv.u_rest_next), num_segments=lv.n_next)
+
+            if len(lv.pa):
+                prod = planar.bmm_A_Bt(W[lv.pa], U[lv.pb], B, B, B)
+                prod = jnp.where(jnp.asarray(lv.p_flip)[:, None],
+                                 planar.btranspose(prod, B, B), prod)
+            Hn = jnp.zeros((lv.K_next, B * B), dtype=H.dtype)
+            Hn = Hn.at[jnp.asarray(lv.carry_dst)].set(H[lv.carry_src])
+            if len(lv.pa):
+                Hn = Hn - jax.ops.segment_sum(
+                    prod, jnp.asarray(lv.p_dst), num_segments=lv.K_next)
+            H = Hn
+            if collect:
+                c_invs.append(c_inv)
+                Ws.append(W)
+                etas.append(eta_E)
+        return H, eta, c_invs, Ws, etas
+
+    def _bottom_dense(self, H):
+        plan = self.plan
+        nb = plan.n_bottom * self.B
+        dt = H.dtype
+        dense = jnp.zeros((nb * nb,), dtype=dt)
+        dense = dense.at[jnp.asarray(plan._bottom_idx).reshape(-1)].add(
+            H.reshape(-1))
+        mirrored = (H[:, plan._tperm] *
+                    jnp.asarray(plan._bottom_off, dtype=dt)[:, None])
+        dense = dense.at[jnp.asarray(plan._bottom_idx_t).reshape(-1)].add(
+            mirrored.reshape(-1))
+        return dense.reshape(nb, nb)
+
+    def _ascend(self, x_bottom, c_invs, Ws, etas):
+        """Back-substitute up through the levels."""
+        B = self.B
+        x = x_bottom  # [n_bottom, B]
+        for li in range(len(self.plan.levels) - 1, -1, -1):
+            lv = self.plan.levels[li]
+            c_inv, W, eta_E = c_invs[li], Ws[li], etas[li]
+            # x_e = C^-1 eta_e - sum_u W_u^T x_rest(u)
+            corr = planar.bmv_At(W, x[lv.u_rest_next], B, B)
+            x_e = planar.bmv(c_inv, eta_E, B, B) - jax.ops.segment_sum(
+                corr, jnp.asarray(lv.u_elim), num_segments=lv.n_elim)
+            xk = jnp.zeros((lv.n, B), dtype=x.dtype)
+            xk = xk.at[jnp.asarray(lv.rest_orig)].set(x)
+            xk = xk.at[jnp.asarray(lv.elim_orig)].set(x_e)
+            x = xk
+        return x
+
+    def _factor_solve_impl(self, blocks, eta):
+        H = blocks[self.plan.input_perm]
+        Hb, eta_b, c_invs, Ws, etas = self._descend(H, eta, collect=True)
+        dense = self._bottom_dense(Hb)
+        L = jnp.linalg.cholesky(dense)
+        nb = self.plan.n_bottom * self.B
+        y = jax.scipy.linalg.solve_triangular(L, eta_b.reshape(nb), lower=True)
+        xb = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        return self._ascend(xb.reshape(self.plan.n_bottom, self.B),
+                            c_invs, Ws, etas)
+
+    def _factor_impl(self, blocks):
+        H = blocks[self.plan.input_perm]
+        eta0 = jnp.zeros((self.N, self.B), dtype=blocks.dtype)
+        Hb, _eta, c_invs, Ws, _etas = self._descend(H, eta0, collect=True)
+        L = jnp.linalg.cholesky(self._bottom_dense(Hb))
+        return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L)
+
+    def _solve_with_factor_impl(self, f: BlockCholeskyFactor, eta):
+        B = self.B
+        etas = []
+        for li, lv in enumerate(self.plan.levels):
+            W = f.Ws[li]
+            eta_E = eta[lv.elim_orig]
+            etas.append(eta_E)
+            corr = planar.bmv(W, eta_E[lv.u_elim], B, B)
+            eta = eta[lv.rest_orig] - jax.ops.segment_sum(
+                corr, jnp.asarray(lv.u_rest_next), num_segments=lv.n_next)
+        nb = self.plan.n_bottom * B
+        y = jax.scipy.linalg.solve_triangular(f.L_bottom, eta.reshape(nb),
+                                              lower=True)
+        xb = jax.scipy.linalg.solve_triangular(f.L_bottom.T, y, lower=False)
+        return self._ascend(xb.reshape(self.plan.n_bottom, B),
+                            list(f.c_invs), list(f.Ws), etas)
+
+    # -- public ----------------------------------------------------------
+
+    def solve(self, blocks, eta):
+        """Factor + solve: blocks [K, B*B] planar (caller's pair order),
+        eta [N, B].  Returns dx [N, B]."""
+        return self._solve_jit(blocks, eta)
+
+    def factor(self, blocks) -> BlockCholeskyFactor:
+        return self._factor_jit(blocks)
+
+    def solve_with_factor(self, f: BlockCholeskyFactor, eta):
+        return self._solve_with_factor_jit(f, eta)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.plan.levels)
+
+    def stats(self) -> dict:
+        """Fill/level diagnostics (host)."""
+        return {
+            "levels": [(lv.n, lv.n_elim, lv.K, len(lv.pa))
+                       for lv in self.plan.levels],
+            "n_bottom": self.plan.n_bottom,
+        }

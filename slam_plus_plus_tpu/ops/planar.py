@@ -43,6 +43,18 @@ def bmm_At_B(a, b, Br: int, Bm: int, Bc: int):
     return jnp.stack(cols, axis=1)
 
 
+def bmm_A_Bt(a, b, Br: int, Bm: int, Bc: int):
+    """Per-block a @ b^T: a [K, Br*Bm], b [K, Bc*Bm] -> [K, Br*Bc]."""
+    cols = []
+    for i in range(Br):
+        for j in range(Bc):
+            acc = a[:, i * Bm] * b[:, j * Bm]
+            for n in range(1, Bm):
+                acc = acc + a[:, i * Bm + n] * b[:, j * Bm + n]
+            cols.append(acc)
+    return jnp.stack(cols, axis=1)
+
+
 def bmv(a, v, Br: int, Bc: int):
     """Per-block matvec: a [K, Br*Bc] @ v [K, Bc] -> [K, Br]."""
     cols = []
@@ -118,9 +130,43 @@ def binv(a, B: int):
         inv_det = 1.0 / det
         return jnp.stack([c11, c12, c13, c21, c22, c23, c31, c32, c33],
                          axis=1) * inv_det[:, None]
-    import jax.numpy as _jnp
-    K = a.shape[0]
-    return _jnp.linalg.inv(a.reshape(K, B, B)).reshape(K, B * B)
+    # larger (even) blocks: recursive 2x2 block inversion via the Schur
+    # complement — planar all the way, no [K, B, B] intermediates (which TPU
+    # HBM tiling would pad 28x).  Requires SPD blocks (guaranteed for lambda
+    # pivots: sums of J^T J plus unit pivots).
+    B1 = B // 2
+    B2 = B - B1
+
+    def sub(i0, j0, Br, Bc):
+        idx = [(i0 + i) * B + (j0 + j) for i in range(Br) for j in range(Bc)]
+        return a[:, idx]
+
+    A11 = sub(0, 0, B1, B1)
+    A12 = sub(0, B1, B1, B2)
+    A21 = sub(B1, 0, B2, B1)
+    A22 = sub(B1, B1, B2, B2)
+    A11i = binv(A11, B1)
+    # S = A22 - A21 A11^-1 A12
+    T = bmm(A21, A11i, B2, B1, B1)                 # [K, B2*B1]
+    S = A22 - bmm(T, A12, B2, B1, B2)
+    Si = binv(S, B2)
+    # blocks of the inverse
+    I12 = -bmm(bmm(A11i, A12, B1, B1, B2), Si, B1, B2, B2)   # [K, B1*B2]
+    I21 = -bmm(Si, T, B2, B2, B1)                             # [K, B2*B1]
+    I11 = A11i - bmm(I12, T, B1, B2, B1)
+    I22 = Si
+    cols = []
+    for i in range(B):
+        for j in range(B):
+            if i < B1 and j < B1:
+                cols.append(I11[:, i * B1 + j])
+            elif i < B1:
+                cols.append(I12[:, i * B2 + (j - B1)])
+            elif j < B1:
+                cols.append(I21[:, (i - B1) * B1 + j])
+            else:
+                cols.append(I22[:, (i - B1) * B2 + (j - B1)])
+    return jnp.stack(cols, axis=1)
 
 
 def scatter_flat_indices(rows, cols, Br: int, Bc: int, row_stride: int):

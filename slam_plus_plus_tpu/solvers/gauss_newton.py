@@ -13,8 +13,9 @@ semantics replicated exactly for golden-value parity:
 
 The linear backend is chosen per structure: Schur elimination whenever an
 eliminated (landmark) class exists, a dense MXU Cholesky for small primary
-systems, a host sparse solve otherwise (device supernodal Cholesky replaces
-this as the performance path).
+systems, and the nested MIS-Schur sparse block Cholesky
+(linalg/block_cholesky.py) for large pose graphs; linear_solver="scipy"
+forces the host oracle.
 """
 
 from __future__ import annotations
@@ -74,6 +75,15 @@ class GaussNewtonSolver:
                 lambda sys_: solve_dense_spd(asm.pp_rows, asm.pp_cols,
                                              sys_.pp_blocks, sys_.eta_p,
                                              asm.Np, asm.Bp))
+        # large pose-graph path: nested MIS-Schur sparse block Cholesky on
+        # device (replaces the reference's CLinearSolver_UberBlock role)
+        self._sparse_chol = None
+        if (not use_schur and not self._dense_direct and
+                self.config.linear_solver in ("auto", "block_cholesky")):
+            from slam_plus_plus_tpu.linalg.block_cholesky import (
+                BlockCholeskySolver)
+            self._sparse_chol = BlockCholeskySolver(
+                asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp)
 
     def _solve(self, block_system):
         asm = self.asm
@@ -82,6 +92,9 @@ class GaussNewtonSolver:
         zeros_l = jnp.zeros((max(asm.Nl, 1), asm.Bl), dtype=block_system.eta_p.dtype)
         if self._dense_direct:
             return self._dense_solve_jit(block_system), zeros_l
+        if self._sparse_chol is not None:
+            return (self._sparse_chol.solve(block_system.pp_blocks,
+                                            block_system.eta_p), zeros_l)
         if asm.Nl:
             dx_p, dx_l = self._host.solve_partitioned(asm, block_system)
             return (jnp.asarray(dx_p, dtype=block_system.eta_p.dtype),

@@ -84,6 +84,12 @@ class IncrementalSolver:
         self._schur = SchurSolver(asm) if use_schur else None
         self._host = HostSparseSolver() if not use_schur else None
         self._dense_direct = (not use_schur and asm.Np * asm.Bp <= _dense_limit())
+        self._sparse_chol = None
+        if not use_schur and not self._dense_direct:
+            from slam_plus_plus_tpu.linalg.block_cholesky import (
+                BlockCholeskySolver)
+            self._sparse_chol = BlockCholeskySolver(
+                asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp)
         if self._dense_direct:
             self._dense_solve_jit = jax.jit(
                 lambda bs: solve_dense_spd(asm.pp_rows, asm.pp_cols,
@@ -192,6 +198,8 @@ class IncrementalSolver:
         zeros_l = jnp.zeros((max(asm.Nl, 1), asm.Bl), dtype=bs.eta_p.dtype)
         if self._dense_direct:
             return self._dense_solve_jit(bs), zeros_l
+        if self._sparse_chol is not None:
+            return self._sparse_chol.solve(bs.pp_blocks, bs.eta_p), zeros_l
         dx_p = self._host.solve_blocks(asm.pp_rows, asm.pp_cols,
                                        np.asarray(bs.pp_blocks),
                                        np.asarray(bs.eta_p), asm.Np, asm.Bp)
