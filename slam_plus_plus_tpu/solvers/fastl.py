@@ -1,0 +1,360 @@
+"""FastL: incremental solver with a maintained factorization (omega updates).
+
+Reference analogue: CNonlinearSolver_FastL (reference
+include/slam/NonlinearSolver_FastL.h) — the RSS-2013 incremental solver.
+Its semantics, replicated here exactly:
+
+  * Linearization points are FROZEN between optimization pushes; lambda and
+    the factor R are *updated* with the new edges' Hessian contributions
+    (omega, fL_util::Calculate_Omega, NonlinearSolver_FastL.h:698,743)
+    rather than rebuilt.
+  * Every new vertex triggers an update of (R, d); dx is back-substituted
+    only when loop closures are outstanding (TryOptimize,
+    NonlinearSolver_FastL.h:1451-1566).
+  * If ||dx|| exceeds the threshold, the step is PUSHED: all vertices move,
+    the system becomes dirty, and the next factorization is a full
+    relinearization + refactorization (Refresh_R_FullR,
+    NonlinearSolver_FastL.h:2367); otherwise dx is discarded and the frozen
+    linearization survives (break-before-push).
+
+TPU-first redesign of the mechanism (not a port of R11 refactorization):
+lambda lives as the level-0 block array of the nested MIS-Schur plan
+(linalg/block_cholesky.py) over the final replay pattern; an omega step is a
+scatter of the new edges' Hessian blocks into lambda followed by a
+refactorization.  The refactorization is batched per level — `refresh="full"`
+redescends all levels in one fused dispatch (already O(fill) with no
+reassembly of old edges, the dominant cost in a full replay);
+`refresh="dirty"` (linalg/incremental_cholesky.py) recomputes only the
+blocks reachable from the changed pairs — the O(affected) analogue of the
+reference's trailing-submatrix R11 update.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slam_plus_plus_tpu.assembly.assembler import Assembler
+from slam_plus_plus_tpu.config import SolverConfig
+from slam_plus_plus_tpu.graph.system import GraphSystem
+from slam_plus_plus_tpu.models.types import EDGE_TYPES
+from slam_plus_plus_tpu.linalg.block_cholesky import BlockCholeskySolver
+
+
+class FastLSolver:
+    """Incremental FastL replay over a parsed system.
+
+    Usage:
+        inc = FastLSolver(system, every_n=1)
+        chi2, iters = inc.run()
+    """
+
+    def __init__(self, system: GraphSystem, every_n: int = 1,
+                 max_iterations: int = 10, dx_threshold: float = 20.0,
+                 config: Optional[SolverConfig] = None,
+                 refresh: str = "dirty",
+                 full_refresh_interval: int = 0):
+        self.system = system
+        self.config = config or SolverConfig()
+        self.every_n = every_n
+        self.max_iterations = max_iterations
+        self.dx_threshold = dx_threshold
+        self.refresh = refresh
+        self.full_refresh_interval = full_refresh_interval
+        self.asm = Assembler(system, self.config)
+        asm = self.asm
+        if asm.Nl:
+            raise NotImplementedError(
+                "FastL engine covers the primary (pose) class; landmark "
+                "problems use the incremental Schur path")
+
+        # factorization plan over the full replay pattern; small dense
+        # bottom regardless of backend (per-step cost ~ bottom^3)
+        self.chol = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np,
+                                        asm.Bp, bottom=min(asm.Np, 384))
+        self._inv_input_perm = np.empty(len(asm.pp_rows), dtype=np.int64)
+        self._inv_input_perm[self.chol.plan.input_perm] = np.arange(
+            len(asm.pp_rows))
+        # pp pair index (assembler order) -> H0 position (plan order)
+
+        self._build_replay_plan()
+        self._build_omega_kernels()
+        if refresh == "dirty":
+            from slam_plus_plus_tpu.linalg.incremental_cholesky import (
+                IncrementalCholesky)
+            self.inc = IncrementalCholesky(self.chol)
+        else:
+            self.inc = None
+        self.stats: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+
+    def _build_replay_plan(self) -> None:
+        """Host precompute: per-step new edges/vertices/closure flags.
+
+        Mirrors IncrementalSolver._build_replay_plan; additionally records,
+        per edge, its level-0 pair positions and eta slots for the omega
+        scatter."""
+        system = self.system
+        asm = self.asm
+        order_of = {g: i for i, g in enumerate(system.vertex_order)}
+
+        seen = set()
+        self.steps: List[dict] = []
+        n_active = 0
+        for (ename, li) in system._edge_insert_log:
+            store = system.edge_stores[ename]
+            vids = store.vertex_ids[li]
+            new_vs = []
+            for slot, gid in enumerate(vids):
+                if gid not in seen:
+                    seen.add(gid)
+                    new_vs.append((slot, int(gid)))
+                    n_active += 1
+            n = len(vids)
+            first = min(order_of[g] for g in vids)
+            closure = (first + n < n_active) if n > 1 else False
+            self.steps.append(dict(ename=ename, li=li, new_vs=new_vs,
+                                   closure=closure, n_active=n_active))
+
+        # per-plan omega scatter metadata: H0 positions of each pp contrib
+        # and the transpose-on-store orientation (the plan's level-0 storage
+        # is the sorted pattern; assembler order maps through input_perm)
+        self._omega_meta = {}
+        for plan in asm.plans:
+            pos = [self._inv_input_perm[np.asarray(s)]
+                   for (_a, _b, s, _w) in plan.pp_contribs]
+            swaps = [np.asarray(w) for (_a, _b, _s, w) in plan.pp_contribs]
+            self._omega_meta[plan.name] = (pos, swaps)
+
+        # diag H0 position per class slot (for activation pivot removal)
+        self._diag_pos = self._inv_input_perm[asm.pp_diag_ids]
+
+    def _build_omega_kernels(self) -> None:
+        """One jitted kernel per edge type: compute the edge's Hessian/eta
+        contributions at the CURRENT states and scatter-add into (H0, eta0).
+
+        This is Calculate_Omega (reference NonlinearSolver_FastL.h:698-743)
+        as a batched device op; also handles new-vertex activation (removes
+        the inactive unit pivot, runs the edge initializer)."""
+        asm = self.asm
+        self._omega_fns = {}
+        for plan in asm.plans:
+            et = EDGE_TYPES[plan.name]
+            kernel = asm._kernels[plan.name]
+            pos_meta, swap_meta = self._omega_meta[plan.name]
+            swap_perm = np.array([i * asm.Bp + j for j in range(asm.Bp)
+                                  for i in range(asm.Bp)])
+
+            def omega(H0, eta0, states, edge_data, eidx, new_mask,
+                      plan=plan, et=et, kernel=kernel, pos_meta=pos_meta,
+                      swap_meta=swap_meta, swap_perm=swap_perm):
+                """Apply one edge (local index eidx) to (H0, eta0).
+
+                new_mask: [arity] 1.0 where the slot's vertex activates now
+                (removes its unit pivot)."""
+                data = edge_data[plan.name]
+                gathered = tuple(
+                    states[t][data["slot_local"][k][eidx]][None]
+                    for k, t in enumerate(et.vertex_types))
+                z = data["z"][eidx][None]
+                info = data["info"][eidx][None]
+                chi2_e, _hd, gs, Hpp, _Hll, _Hpl = kernel(gathered, z, info)
+
+                for ci, (a, b, _s, _w) in enumerate(plan.pp_contribs):
+                    Hblk = Hpp[ci][0]
+                    swap = jnp.asarray(swap_meta[ci])[eidx]
+                    Hblk = jnp.where(swap, Hblk[swap_perm], Hblk)
+                    p = jnp.asarray(pos_meta[ci])[eidx]
+                    H0 = H0.at[p].add(Hblk)
+                for k in range(len(plan.slot_types)):
+                    cs = data["slot_cslot"][k][eidx]
+                    eta0 = eta0.at[cs].add(gs[k][0])
+                    # activation: remove the inactive unit pivot
+                    dpos = jnp.asarray(self._diag_pos)[cs]
+                    diag_cols = jnp.asarray(
+                        [i * asm.Bp + i for i in range(asm.Bp)])
+                    H0 = H0.at[dpos, diag_cols].add(
+                        -new_mask[k] * asm.p_mask_dev[cs])
+                return H0, eta0
+
+            self._omega_fns[plan.name] = jax.jit(omega)
+
+    # ------------------------------------------------------------------
+
+    def _activate(self, states, ename, slot, eidx):
+        et = EDGE_TYPES[ename]
+        if et.jax_initializer is None:
+            return states
+        key = (ename, slot)
+        if not hasattr(self, "_act_fns"):
+            self._act_fns = {}
+        if key not in self._act_fns:
+            def act(states, edge_data, eidx, ename=ename, slot=slot, et=et):
+                data = edge_data[ename]
+                gathered = tuple(states[t][data["slot_local"][k][eidx]]
+                                 for k, t in enumerate(et.vertex_types))
+                new = et.jax_initializer(gathered, data["z"][eidx], slot)
+                tname = et.vertex_types[slot]
+                li = data["slot_local"][slot][eidx]
+                out = dict(states)
+                out[tname] = states[tname].at[li].set(
+                    new.astype(states[tname].dtype))
+                return out
+            self._act_fns[key] = jax.jit(act)
+        return self._act_fns[key](states, self.asm.edge_data, eidx)
+
+    def _init_stores(self, states, counts, n_active):
+        """(Re)build lambda at the current linearization and factor fully.
+
+        The push/full-relinearization path (reference Refresh_R_FullR after
+        a dirty system, NonlinearSolver_FastL.h:2367)."""
+        bs = self.asm.assemble_active(states, counts, n_active, 0)
+        H0 = bs.pp_blocks[self.chol.plan.input_perm]
+        eta0 = bs.eta_p
+        if self.inc is not None:
+            stores = self.inc.init_stores(H0)
+        else:
+            stores = {"H0": H0,
+                      "factor": self.chol._factor_jit(bs.pp_blocks)}
+        return stores, eta0
+
+    def _refactor(self, stores):
+        if self.inc is not None:
+            return self.inc.refactor_full(stores)
+        H0 = stores["H0"]
+        # factor expects assembler order; invert the permutation
+        stores["factor"] = self.chol._factor_jit(H0[self._inv_input_perm])
+        return stores
+
+    def _refactor_after_omega(self, stores, dirty_pairs):
+        if self.inc is not None:
+            return self.inc.refactor_dirty(stores, dirty_pairs)
+        return self._refactor(stores)
+
+    def _solve(self, stores, eta0):
+        if self.inc is not None:
+            return self.inc.solve(stores, eta0)
+        return self.chol._solve_with_factor_jit(stores["factor"], eta0)
+
+    # ------------------------------------------------------------------
+
+    def run(self, verbose: bool = False):
+        """Replay all edges with FastL semantics; returns (chi2, iters)."""
+        t0 = time.perf_counter()
+        asm = self.asm
+        states = asm.snapshot_states(self.system)
+
+        counts = {n: 0 for n in asm.edge_data}
+
+        stores, eta0 = None, None
+        lin_dirty = True   # report with one-time dx unless a push lands last
+        outstanding = False
+        pending: List[tuple] = []   # (ename, li, new_mask)
+        n_since_solve = 0
+        last_nap = 0
+        total_iters = 0
+        n_pushes = 0
+        n_full = 0
+        n_steps_applied = 0
+        omega_since_full = 0
+
+        for si, step in enumerate(self.steps):
+            ename, li = step["ename"], step["li"]
+            new_mask = np.zeros(EDGE_TYPES[ename].arity)
+            for (slot, gid) in step["new_vs"]:
+                states = self._activate(states, ename, slot, li)
+                new_mask[slot] = 1.0
+            counts[ename] += 1
+            outstanding = outstanding or step["closure"]
+            pending.append((ename, li, new_mask))
+            n_new_vs = step["n_active"] - last_nap
+            if n_new_vs < self.every_n:
+                continue
+            last_nap = step["n_active"]
+
+            # --- omega update of the maintained factorization ------------
+            if stores is None:
+                stores, eta0 = self._init_stores(states, dict(counts),
+                                                 step["n_active"])
+                pending.clear()
+                n_full += 1
+            elif pending:
+                dirty = []
+                for (en, el, nm) in pending:
+                    stores["H0"], eta0 = self._omega_fns[en](
+                        stores["H0"], eta0, states, asm.edge_data, el,
+                        jnp.asarray(nm, dtype=asm.dtype))
+                    # contribution positions cover all touched pairs
+                    # (slot-pair list includes both diagonals)
+                    pos_meta, _sw = self._omega_meta[en]
+                    dirty.extend(int(p[el]) for p in pos_meta)
+                    omega_since_full += 1
+                pending.clear()
+                if (self.full_refresh_interval and
+                        omega_since_full >= self.full_refresh_interval):
+                    stores = self._refactor(stores)
+                    omega_since_full = 0
+                    n_full += 1
+                else:
+                    stores = self._refactor_after_omega(
+                        stores, np.unique(np.array(dirty, dtype=np.int64)))
+                n_steps_applied += 1
+
+            # --- optimize when loop closures are outstanding --------------
+            if not outstanding:
+                continue
+            outstanding = False
+            for it in range(self.max_iterations):
+                total_iters += 1
+                dx = self._solve(stores, eta0)
+                norm = float(jnp.linalg.norm(dx))
+                if not np.isfinite(norm) or norm <= self.dx_threshold:
+                    lin_dirty = True
+                    break  # discard dx, keep frozen linearization
+                # push: linearization moves -> full relinearize + refactor
+                states = asm._update_jit(
+                    states, dx, jnp.zeros((1, asm.Bl), dtype=asm.dtype))
+                n_pushes += 1
+                lin_dirty = False
+                stores, eta0 = self._init_stores(states, dict(counts),
+                                                 step["n_active"])
+                n_full += 1
+                omega_since_full = 0
+
+        # trailing pending edges (closure edges with no new vertex): refresh
+        # the factorization so the final solution includes them
+        if stores is not None and pending:
+            for (en, el, nm) in pending:
+                stores["H0"], eta0 = self._omega_fns[en](
+                    stores["H0"], eta0, states, asm.edge_data, el,
+                    jnp.asarray(nm, dtype=asm.dtype))
+            pending.clear()
+            stores = self._refactor(stores)
+            lin_dirty = True
+
+        # the reference reports chi2/solution at linearization (+) pending
+        # one-time dx when no push materialized it (f_Chi_Squared_Error_Denorm,
+        # reference NonlinearSolver_FastL.h:582-605: CalculateOneTimeDx +
+        # PushValuesInGraphSystem, evaluate, revert)
+        if stores is not None and lin_dirty:
+            dx = self._solve(stores, eta0)
+            if bool(jnp.all(jnp.isfinite(dx))):
+                states = asm._update_jit(
+                    states, dx, jnp.zeros((1, asm.Bl), dtype=asm.dtype))
+
+        full_counts = {n: counts[n] for n in asm.edge_data}
+        chi2 = float(asm.chi2_active(states, full_counts))
+        asm.writeback_states(self.system, states)
+        self.elapsed = time.perf_counter() - t0
+        self.stats = dict(steps=len(self.steps), omega_steps=n_steps_applied,
+                          pushes=n_pushes, full_refactors=n_full,
+                          iters=total_iters, elapsed=self.elapsed)
+        if verbose:
+            print(f"fastl done: {self.stats}")
+        return chi2, total_iters
