@@ -92,6 +92,12 @@ class FastLSolver:
             self.inc = None
         self.stats: Dict[str, float] = {}
 
+        def apply_scatter(H0, eta0, pos, vals, eta_slots, eta_vals):
+            return (H0.at[pos].add(vals),
+                    eta0.at[eta_slots].add(eta_vals))
+
+        self._apply_scatter = jax.jit(apply_scatter, donate_argnums=(0, 1))
+
     # ------------------------------------------------------------------
 
     def _build_replay_plan(self) -> None:
@@ -137,27 +143,32 @@ class FastLSolver:
 
     def _build_omega_kernels(self) -> None:
         """One jitted kernel per edge type: compute the edge's Hessian/eta
-        contributions at the CURRENT states and scatter-add into (H0, eta0).
+        contribution DELTAS at the CURRENT states.
 
         This is Calculate_Omega (reference NonlinearSolver_FastL.h:698-743)
         as a batched device op; also handles new-vertex activation (removes
-        the inactive unit pivot, runs the edge initializer)."""
+        the inactive unit pivot).  Returns
+        (H0 pair positions [C], block deltas [C, Bp*Bp],
+         eta slots [arity], eta deltas [arity, Bp]) — the caller scatters
+        them (refresh='full') or feeds them to the dirty engine."""
         asm = self.asm
+        Bp = asm.Bp
         self._omega_fns = {}
         for plan in asm.plans:
             et = EDGE_TYPES[plan.name]
             kernel = asm._kernels[plan.name]
             pos_meta, swap_meta = self._omega_meta[plan.name]
-            swap_perm = np.array([i * asm.Bp + j for j in range(asm.Bp)
-                                  for i in range(asm.Bp)])
+            swap_perm = np.array([i * Bp + j for j in range(Bp)
+                                  for i in range(Bp)])
+            # contrib index of each slot's diagonal (a == b == slot)
+            diag_contrib = {a: ci for ci, (a, b, _s, _w)
+                            in enumerate(plan.pp_contribs) if a == b}
+            diag_cols = np.array([i * Bp + i for i in range(Bp)])
 
-            def omega(H0, eta0, states, edge_data, eidx, new_mask,
+            def omega(states, edge_data, eidx, new_mask,
                       plan=plan, et=et, kernel=kernel, pos_meta=pos_meta,
-                      swap_meta=swap_meta, swap_perm=swap_perm):
-                """Apply one edge (local index eidx) to (H0, eta0).
-
-                new_mask: [arity] 1.0 where the slot's vertex activates now
-                (removes its unit pivot)."""
+                      swap_meta=swap_meta, swap_perm=swap_perm,
+                      diag_contrib=diag_contrib, diag_cols=diag_cols):
                 data = edge_data[plan.name]
                 gathered = tuple(
                     states[t][data["slot_local"][k][eidx]][None]
@@ -166,22 +177,23 @@ class FastLSolver:
                 info = data["info"][eidx][None]
                 chi2_e, _hd, gs, Hpp, _Hll, _Hpl = kernel(gathered, z, info)
 
+                pos, vals = [], []
                 for ci, (a, b, _s, _w) in enumerate(plan.pp_contribs):
                     Hblk = Hpp[ci][0]
+                    if a in diag_contrib and diag_contrib[a] == ci:
+                        # activation: remove the slot's inactive unit pivot
+                        cs = data["slot_cslot"][a][eidx]
+                        Hblk = Hblk.at[diag_cols].add(
+                            -new_mask[a] * asm.p_mask_dev[cs])
                     swap = jnp.asarray(swap_meta[ci])[eidx]
                     Hblk = jnp.where(swap, Hblk[swap_perm], Hblk)
-                    p = jnp.asarray(pos_meta[ci])[eidx]
-                    H0 = H0.at[p].add(Hblk)
-                for k in range(len(plan.slot_types)):
-                    cs = data["slot_cslot"][k][eidx]
-                    eta0 = eta0.at[cs].add(gs[k][0])
-                    # activation: remove the inactive unit pivot
-                    dpos = jnp.asarray(self._diag_pos)[cs]
-                    diag_cols = jnp.asarray(
-                        [i * asm.Bp + i for i in range(asm.Bp)])
-                    H0 = H0.at[dpos, diag_cols].add(
-                        -new_mask[k] * asm.p_mask_dev[cs])
-                return H0, eta0
+                    pos.append(jnp.asarray(pos_meta[ci])[eidx])
+                    vals.append(Hblk)
+                eta_slots = jnp.stack([data["slot_cslot"][k][eidx]
+                                       for k in range(et.arity)])
+                eta_vals = jnp.stack([gs[k][0] for k in range(et.arity)])
+                return (jnp.stack(pos), jnp.stack(vals),
+                        eta_slots, eta_vals)
 
             self._omega_fns[plan.name] = jax.jit(omega)
 
@@ -224,6 +236,22 @@ class FastLSolver:
                       "factor": self.chol._factor_jit(bs.pp_blocks)}
         return stores, eta0
 
+    def _apply_pending(self, stores, eta0, states, pending):
+        """Compute + apply omega deltas for the pending edges; returns
+        (eta0, level-0 dirty positions (host), delta values (device list))."""
+        asm = self.asm
+        pos_l, val_l = [], []
+        for (en, el, nm) in pending:
+            pos, vals, eta_slots, eta_vals = self._omega_fns[en](
+                states, asm.edge_data, el, jnp.asarray(nm, dtype=asm.dtype))
+            stores["H0"], eta0 = self._apply_scatter(
+                stores["H0"], eta0, pos, vals, eta_slots, eta_vals)
+            pos_meta, _sw = self._omega_meta[en]
+            pos_l.append(np.array([int(p[el]) for p in pos_meta],
+                                  dtype=np.int64))
+            val_l.append(vals)
+        return eta0, pos_l, val_l
+
     def _refactor(self, stores):
         if self.inc is not None:
             return self.inc.refactor_full(stores)
@@ -232,10 +260,13 @@ class FastLSolver:
         stores["factor"] = self.chol._factor_jit(H0[self._inv_input_perm])
         return stores
 
-    def _refactor_after_omega(self, stores, dirty_pairs):
+    def _refactor_after_omega(self, stores, dirty_pos, dirty_vals):
+        """Returns True if the incremental refactorization handled the
+        update, False on dirty-capacity overflow (caller does the full)."""
         if self.inc is not None:
-            return self.inc.refactor_dirty(stores, dirty_pairs)
-        return self._refactor(stores)
+            return self.inc.refactor_dirty(stores, dirty_pos, dirty_vals)
+        self._refactor(stores)
+        return True
 
     def _solve(self, stores, eta0):
         if self.inc is not None:
@@ -285,16 +316,9 @@ class FastLSolver:
                 pending.clear()
                 n_full += 1
             elif pending:
-                dirty = []
-                for (en, el, nm) in pending:
-                    stores["H0"], eta0 = self._omega_fns[en](
-                        stores["H0"], eta0, states, asm.edge_data, el,
-                        jnp.asarray(nm, dtype=asm.dtype))
-                    # contribution positions cover all touched pairs
-                    # (slot-pair list includes both diagonals)
-                    pos_meta, _sw = self._omega_meta[en]
-                    dirty.extend(int(p[el]) for p in pos_meta)
-                    omega_since_full += 1
+                eta0, dirty_pos, dirty_vals = self._apply_pending(
+                    stores, eta0, states, pending)
+                omega_since_full += len(pending)
                 pending.clear()
                 if (self.full_refresh_interval and
                         omega_since_full >= self.full_refresh_interval):
@@ -302,8 +326,11 @@ class FastLSolver:
                     omega_since_full = 0
                     n_full += 1
                 else:
-                    stores = self._refactor_after_omega(
-                        stores, np.unique(np.array(dirty, dtype=np.int64)))
+                    ok = self._refactor_after_omega(stores, dirty_pos,
+                                                    dirty_vals)
+                    if not ok:   # dirty-capacity overflow: full fallback
+                        stores = self._refactor(stores)
+                        n_full += 1
                 n_steps_applied += 1
 
             # --- optimize when loop closures are outstanding --------------
@@ -330,10 +357,8 @@ class FastLSolver:
         # trailing pending edges (closure edges with no new vertex): refresh
         # the factorization so the final solution includes them
         if stores is not None and pending:
-            for (en, el, nm) in pending:
-                stores["H0"], eta0 = self._omega_fns[en](
-                    stores["H0"], eta0, states, asm.edge_data, el,
-                    jnp.asarray(nm, dtype=asm.dtype))
+            eta0, _pos, _vals = self._apply_pending(stores, eta0, states,
+                                                    pending)
             pending.clear()
             stores = self._refactor(stores)
             lin_dirty = True

@@ -29,7 +29,7 @@ def _run(tmp_path, n, seed, refresh, **kw):
     return inc.run() + (inc,)
 
 
-@pytest.mark.parametrize("refresh", ["full"])
+@pytest.mark.parametrize("refresh", ["full", "dirty"])
 def test_fastl_golden_small(tmp_path, refresh):
     chi2, iters, inc = _run(tmp_path, 300, 91, refresh)
     assert iters == 8
@@ -37,7 +37,7 @@ def test_fastl_golden_small(tmp_path, refresh):
     assert inc.stats["pushes"] == 0
 
 
-@pytest.mark.parametrize("refresh", ["full"])
+@pytest.mark.parametrize("refresh", ["full", "dirty"])
 def test_fastl_golden_with_pushes(tmp_path, refresh):
     chi2, iters, inc = _run(tmp_path, 1500, 92, refresh, loop_prob=0.35)
     assert iters == 206
