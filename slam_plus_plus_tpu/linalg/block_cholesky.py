@@ -397,6 +397,93 @@ class BlockCholeskySolver:
     def solve_with_factor(self, f: BlockCholeskyFactor, eta):
         return self._solve_with_factor_jit(f, eta)
 
+    # -- recurrent sparse marginals ---------------------------------------
+
+    def _marginals_impl(self, f: BlockCholeskyFactor):
+        """Takahashi-style backward recurrence over the elimination levels:
+        recover Sigma = lambda^-1 restricted to the fill pattern, never
+        materializing a dense n x n matrix.
+
+        Reference analogue: the ICRA-2015 recurrent formula
+        (reference include/slam/Marginals.h:1694,2694) — there a backward
+        recurrence over sparse R columns; here the same recurrence batched
+        per elimination level, reusing the factorization's own index plans:
+
+          Sigma_bot   = dense inverse of the bottom factor (small, MXU)
+          Sigma_ER[u] = -sum_i W_i^T Sigma_{rho_i, rho_u}   (fill-pair plan)
+          Sigma_EE[e] = C_e^-1 - sum_u Sigma_ER[u] W_u
+          Sigma_RR    = carry copy from the level below
+
+        Every needed Sigma_{rho_i, rho_j} lies on the NEXT level's pattern
+        (fill closure) — the recurrence closes exactly like the reference's.
+        Returns Sigma blocks on the level-0 pattern in PLAN order."""
+        plan, B = self.plan, self.B
+        nb = plan.n_bottom * B
+        eye = jnp.eye(nb, dtype=f.L_bottom.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(f.L_bottom, eye, lower=True)
+        Sig_dense = Linv.T @ Linv
+        # scatter the dense bottom inverse back onto the bottom pattern
+        bidx = jnp.asarray(plan._bottom_idx)
+        Sig = Sig_dense.reshape(-1)[bidx.reshape(-1)].reshape(bidx.shape)
+
+        for li in range(len(plan.levels) - 1, -1, -1):
+            lv = plan.levels[li]
+            c_inv, W = f.c_invs[li], f.Ws[li]
+            Ku = len(lv.u_src)
+            dt = Sig.dtype
+
+            if len(lv.pa):
+                G = Sig[lv.p_dst]                    # [T, B*B] stored blocks
+                Gt = planar.btranspose(G, B, B)
+                pflip = jnp.asarray(lv.p_flip)[:, None]
+                S_ab = jnp.where(pflip, Gt, G)       # Sigma_{rho_a', rho_b'}
+                S_ba = jnp.where(pflip, G, Gt)
+                term_b = planar.bmm_At_B(W[lv.pa], S_ab, B, B, B)
+                term_a = planar.bmm_At_B(W[lv.pb], S_ba, B, B, B)
+                offd = (lv.pa != lv.pb)
+                Sig_ER = -(jax.ops.segment_sum(
+                    term_b, jnp.asarray(lv.pb), num_segments=Ku) +
+                    jax.ops.segment_sum(
+                        term_a * jnp.asarray(offd, dtype=dt)[:, None],
+                        jnp.asarray(lv.pa), num_segments=Ku))
+            else:
+                Sig_ER = jnp.zeros((max(Ku, 1), B * B), dtype=dt)
+
+            # Sigma_EE = C^-1 - sum_u Sigma_ER[u] W_u
+            corr = planar.bmm(Sig_ER[:Ku], W, B, B, B) if Ku else None
+            Sig_EE = c_inv
+            if Ku:
+                Sig_EE = c_inv - jax.ops.segment_sum(
+                    corr, jnp.asarray(lv.u_elim), num_segments=lv.n_elim)
+
+            # assemble the level-k Sigma on its own pattern
+            Sig_k = jnp.zeros((lv.K, B * B), dtype=dt)
+            Sig_k = Sig_k.at[jnp.asarray(lv.carry_src)].set(
+                Sig[jnp.asarray(lv.carry_dst)])
+            Sig_k = Sig_k.at[jnp.asarray(lv.elim_diag_idx)].set(Sig_EE)
+            if Ku:
+                # stored pair (r, c): u_flip means stored as (e, rho) =
+                # Sigma_ER directly; otherwise (rho, e) = Sigma_ER^T
+                uval = jnp.where(jnp.asarray(lv.u_flip)[:, None],
+                                 Sig_ER[:Ku],
+                                 planar.btranspose(Sig_ER[:Ku], B, B))
+                Sig_k = Sig_k.at[jnp.asarray(lv.u_src)].set(uval)
+            Sig = Sig_k
+        return Sig
+
+    def marginals(self, f: BlockCholeskyFactor):
+        """Sigma on the level-0 pattern (PLAN order), from a cached factor."""
+        if not hasattr(self, "_marginals_jit"):
+            self._marginals_jit = jax.jit(self._marginals_impl)
+        return self._marginals_jit(f)
+
+    def marginals_from_stores(self, stores):
+        """Marginals from incremental-engine stores (dummy rows sliced)."""
+        f = BlockCholeskyFactor(
+            tuple(c[:-1] for c in stores["c_invs"]),
+            tuple(w[:-1] for w in stores["Ws"]), stores["L"])
+        return self.marginals(f)
+
     @property
     def n_levels(self) -> int:
         return len(self.plan.levels)

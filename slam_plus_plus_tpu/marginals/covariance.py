@@ -55,12 +55,18 @@ class Marginals:
     """
 
     def __init__(self, asm, part: str = "diagonal",
-                 gauge_jitter: float = 0.0):
+                 gauge_jitter: float = 0.0, mode: str = "auto"):
         """gauge_jitter: relative diagonal damping (scaled by max_hdiag)
         applied before inversion — gauge-deficient systems (mono BA scale
         freedom) are singular and would produce NaN; the reference's own
         factorization merely loses precision there, producing huge finite
-        values.  Set 0 to disable."""
+        values.  Set 0 to disable.
+
+        mode: "dense" inverts the (reduced) system densely; "sparse" uses
+        the recurrent recovery over the MIS-Schur factor
+        (BlockCholeskySolver.marginals — the ICRA-2015 recurrent formula
+        analogue, O(fill) compute, no dense n x n); "auto" picks sparse for
+        large pose-only systems."""
         self.asm = asm
         self.part = part
         self.gauge_jitter = gauge_jitter
@@ -70,6 +76,19 @@ class Marginals:
             self._schur = SchurSolver(asm)
         else:
             self._schur = None
+        self._sparse = None
+        if (not self._schur_mode and part != "full" and
+                (mode == "sparse" or
+                 (mode == "auto" and asm.Np * asm.Bp > 6000))):
+            from slam_plus_plus_tpu.linalg.block_cholesky import (
+                BlockCholeskySolver)
+            self._sparse = BlockCholeskySolver(asm.pp_rows, asm.pp_cols,
+                                               asm.Np, asm.Bp)
+            inv_perm = np.empty(len(asm.pp_rows), dtype=np.int64)
+            inv_perm[self._sparse.plan.input_perm] = np.arange(
+                len(asm.pp_rows))
+            self._diag_pos = jnp.asarray(inv_perm[asm.pp_diag_ids])
+            self._inv_perm = inv_perm
         self._compute_jit = jax.jit(self._compute_impl)
 
     def _dense_lambda_pp(self, bs):
@@ -87,6 +106,13 @@ class Marginals:
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         nred = Np * Bp
         dt = bs.pp_blocks.dtype
+
+        if self._sparse is not None:
+            f = self._sparse._factor_impl(bs.pp_blocks)
+            sig = self._sparse._marginals_impl(f)
+            p_diag = sig[self._diag_pos]
+            l_diag = jnp.zeros((max(Nl, 1), Bl * Bl), dtype=dt)
+            return MarginalsResult(p_diag, l_diag, None)
 
         if not self._schur_mode:
             A = self._dense_lambda_pp(bs)
@@ -200,6 +226,17 @@ class Marginals:
     def compute(self, block_system) -> MarginalsResult:
         return self._compute_jit(block_system)
 
+    def sigma_blocks(self, block_system):
+        """Sigma restricted to the lambda pattern, in ASSEMBLER pair order
+        ([Kpp, Bp*Bp] planar) — the sparse recurrent recovery.  Off-diagonal
+        neighbor covariances feed the compact-pose distance tests
+        (reference include/slam/Distances.h:79)."""
+        if self._sparse is None:
+            raise ValueError("sigma_blocks requires mode='sparse'")
+        f = self._sparse.factor(block_system.pp_blocks)
+        sig = self._sparse.marginals(f)
+        return sig[jnp.asarray(self._inv_perm)]
+
 
 class IncrementalMarginals:
     """Incrementally updated block-diagonal covariance.
@@ -223,8 +260,14 @@ class IncrementalMarginals:
     def __init__(self, asm, max_update_rank: int = 64):
         self.asm = asm
         self.max_update_rank = max_update_rank
-        self._L = None          # cached dense Cholesky factor of lambda_pp
-        self._sigma_diag = None  # [Np, Bp*Bp] planar
+        self._L = None            # cached dense Cholesky factor of lambda_pp
+        self._sparse_factor = None  # cached MIS-Schur factor (large systems)
+        self._sigma_diag = None   # [Np, Bp*Bp] planar
+        # accumulated Woodbury corrections [(X [n,k], K [k,k]), ...]:
+        # Sigma_now = Sigma_0 - sum_i X_i K_i X_i^T, so repeated updates
+        # solve against the CACHED factor and replay the corrections
+        self._corrections = []
+        self._rank_used = 0
         self._marg = Marginals(asm)
 
     def compute(self, bs):
@@ -233,79 +276,123 @@ class IncrementalMarginals:
         from slam_plus_plus_tpu.linalg.dense import scatter_dense
         asm = self.asm
         res = self._marg.compute(bs)
+        self._corrections = []
+        self._rank_used = 0
         if not self._marg._schur_mode:
-            A = scatter_dense(asm.pp_rows, asm.pp_cols, bs.pp_blocks,
-                              asm.Np, asm.Bp)
-            self._L = jnp.linalg.cholesky(A)
+            if self._marg._sparse is not None:
+                self._sparse_factor = self._marg._sparse.factor(bs.pp_blocks)
+                self._L = None
+            else:
+                A = scatter_dense(asm.pp_rows, asm.pp_cols, bs.pp_blocks,
+                                  asm.Np, asm.Bp)
+                self._L = jnp.linalg.cholesky(A)
+                self._sparse_factor = None
         self._sigma_diag = res.p_diag
         return res
 
     def b_can_update(self, k: int) -> bool:
-        return (self._L is not None and not self._marg._schur_mode
-                and k <= self.max_update_rank)
+        have_factor = self._L is not None or self._sparse_factor is not None
+        return (have_factor and not self._marg._schur_mode
+                and self._rank_used + k <= self.max_update_rank)
+
+    def _sigma_mul(self, G):
+        """Sigma_now @ G through the cached factor + replayed corrections."""
+        import jax
+        import jax.numpy as jnp
+        if self._L is not None:
+            Y = jax.scipy.linalg.solve_triangular(self._L, G, lower=True)
+            X = jax.scipy.linalg.solve_triangular(self._L.T, Y, lower=False)
+        else:
+            asm = self.asm
+            chol = self._marg._sparse
+
+            def one(col):
+                return chol._solve_with_factor_impl(
+                    self._sparse_factor,
+                    col.reshape(asm.Np, asm.Bp)).reshape(-1)
+            X = jax.vmap(one, in_axes=1, out_axes=1)(G)
+        for (Xi, Ki) in self._corrections:
+            X = X - Xi @ (Ki @ (Xi.T @ G))
+        return X
 
     def update(self, G):
         """Rank-k update after lambda grew by G @ G.T  (G: [n, k] dense,
-        columns = square-root factors of the new edges' omega).  Returns the
-        updated planar block diagonal; falls back by raising ValueError when
-        b_can_update fails (caller should recompute)."""
-        import jax
+        columns = square-root factors of the new edges' omega).  Repeatable:
+        corrections accumulate against the cached factor until the total
+        rank exceeds max_update_rank (the reference's b_CanUpdate policy,
+        Marginals.h:5224); then raises ValueError (caller recomputes)."""
         import jax.numpy as jnp
         G = jnp.asarray(G)
         k = G.shape[1]
         if not self.b_can_update(k):
             raise ValueError("update not possible; recompute required")
         asm = self.asm
-        L = self._L
-        # X = Sigma G via two triangular solves
-        Y = jax.scipy.linalg.solve_triangular(L, G, lower=True)
-        X = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+        X = self._sigma_mul(G)
         K = jnp.linalg.inv(jnp.eye(k, dtype=G.dtype) + G.T @ X)
-        # diag block update: Sigma_ii' = Sigma_ii - X_i K X_i^T per block
         Np, Bp = asm.Np, asm.Bp
         Xb = X.reshape(Np, Bp, k)
         corr = jnp.einsum("nik,kl,njl->nij", Xb, K, Xb).reshape(Np, Bp * Bp)
         self._sigma_diag = self._sigma_diag - corr
-        # keep the factor usable for further updates: rank-update of L is
-        # deferred — track the accumulated correction via re-factor when
-        # updates stack too deep
-        self._L = None  # single-shot: next update requires recompute
+        self._corrections.append((X, K))
+        self._rank_used += k
         return self._sigma_diag
 
     @staticmethod
-    def omega_sqrt_for_edge(asm, states, ename: str, eidx: int):
-        """G columns for one edge: stacked sqrt-information-weighted
-        jacobians scattered to the global index space ([n, m])."""
+    def omega_sqrt_for_edges(asm, states, ename: str, eidxs):
+        """G columns for a batch of edges of one type: sqrt-information-
+        weighted jacobians scattered to the global index space ([n, m*E]).
+        Fully batched on device (vmap over edges + one scatter)."""
+        import jax
         import jax.numpy as jnp
         import numpy as np
         from slam_plus_plus_tpu.models.types import EDGE_TYPES, VERTEX_TYPES
         et = EDGE_TYPES[ename]
         data = asm.edge_data[ename]
-        z = data["info"][eidx]
-        # sqrt of the information
-        w, V = np.linalg.eigh(np.asarray(z))
-        sqrtW = V @ np.diag(np.sqrt(np.maximum(w, 0))) @ V.T
-        gathered = tuple(states[t][data["slot_local"][kk][eidx]]
-                         for kk, t in enumerate(et.vertex_types))
-        import jax
-        jacs = []
-        for kk, tname in enumerate(et.vertex_types):
-            vt = VERTEX_TYPES[tname]
-
-            def f(delta, kk=kk, vt=vt):
-                st = list(gathered)
-                st[kk] = vt.boxplus(st[kk], delta)
-                if et.expectation is not None:
-                    return et.error(data["z"][eidx], et.expectation(tuple(st)))
-                return et.residual(tuple(st), data["z"][eidx])
-
-            jacs.append(np.asarray(jax.jacfwd(f)(
-                jnp.zeros(vt.tangent_dim, dtype=z.dtype))))
-        n = asm.Np * asm.Bp
+        eidxs = jnp.asarray(np.atleast_1d(np.asarray(eidxs, dtype=np.int64)))
         m = et.residual_dim
-        G = np.zeros((n, m))
-        for kk, tname in enumerate(et.vertex_types):
-            cs = int(np.asarray(data["slot_cslot"][kk][eidx]))
-            d = VERTEX_TYPES[tname].tangent_dim
-            G[cs * asm.Bp:cs * asm.Bp + d, :] += (sqrtW @ jacs[kk]).T
-        return G
+        Bp = asm.Bp
+        vts = [VERTEX_TYPES[t] for t in et.vertex_types]
+
+        def one(eidx):
+            gathered = tuple(states[t][data["slot_local"][kk][eidx]]
+                             for kk, t in enumerate(et.vertex_types))
+            info = data["info"][eidx]
+            w, V = jnp.linalg.eigh(info)
+            sqrtW = (V * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]) @ V.T
+            rows = []
+            for kk, vt in enumerate(vts):
+                def f(delta, kk=kk, vt=vt):
+                    st = list(gathered)
+                    st[kk] = vt.boxplus(st[kk], delta)
+                    if et.expectation is not None:
+                        return et.error(data["z"][eidx],
+                                        et.expectation(tuple(st)))
+                    return et.residual(tuple(st), data["z"][eidx])
+                J = jax.jacfwd(f)(jnp.zeros(vt.tangent_dim,
+                                            dtype=info.dtype))
+                Jw = (sqrtW @ J).T                      # [d, m]
+                if vt.tangent_dim < Bp:
+                    Jw = jnp.pad(Jw, ((0, Bp - vt.tangent_dim), (0, 0)))
+                rows.append(Jw)
+            cslots = jnp.stack([data["slot_cslot"][kk][eidx]
+                                for kk in range(et.arity)])
+            return jnp.stack(rows), cslots               # [arity, Bp, m]
+
+        Jw_all, cs_all = jax.vmap(one)(eidxs)            # [E, arity, Bp, m]
+        E = len(eidxs)
+        n = asm.Np * Bp
+        G = jnp.zeros((asm.Np, Bp, m * E), dtype=Jw_all.dtype)
+        for kk in range(et.arity):
+            # edge e's columns live at [m*e : m*(e+1)]
+            col_onehot = (jnp.arange(E)[:, None] ==
+                          jnp.arange(E)[None, :]).astype(Jw_all.dtype)
+            block = jnp.einsum("ebm,ef->ebfm", Jw_all[:, kk],
+                               col_onehot).reshape(E, Bp, m * E)
+            G = G.at[cs_all[:, kk]].add(block)
+        return G.reshape(n, m * E)
+
+    # backward-compatible single-edge wrapper
+    @staticmethod
+    def omega_sqrt_for_edge(asm, states, ename: str, eidx: int):
+        return IncrementalMarginals.omega_sqrt_for_edges(
+            asm, states, ename, [eidx])

@@ -137,3 +137,113 @@ def test_incremental_marginals_update():
     b = np.asarray(oracle.p_diag)
     scale = np.abs(b).max()
     assert np.abs(a - b).max() < 1e-8 * scale
+
+
+def test_recurrent_sparse_marginals_scale(tmp_path):
+    """Sparse recurrent recovery on a system too big for the dense path
+    (2600 poses = 7800 dims): diag vs splu-solved sampled columns; no dense
+    n x n matrix is ever built (mode='sparse')."""
+    import scipy.sparse.linalg as spla
+
+    poses, edges = datasets.make_city_2d(n_poses=2600, seed=31)
+    p = str(tmp_path / "c.txt")
+    datasets.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    bs = asm.assemble(asm.snapshot_states(s))
+
+    marg = Marginals(asm)               # auto -> sparse above 6000 dims
+    assert marg._sparse is not None
+    res = marg.compute(bs)
+    p_diag = np.asarray(res.p_diag)
+
+    A = partitioned_to_scipy(asm.pp_rows, asm.pp_cols,
+                             np.asarray(bs.pp_blocks), asm.Np, asm.Bp)
+    lu = spla.splu(A.tocsc())
+    n = asm.Np * asm.Bp
+    rng = np.random.default_rng(0)
+    scale = np.abs(p_diag).max()
+    for v in rng.choice(asm.Np, size=12, replace=False):
+        cols = np.zeros((n, asm.Bp))
+        for j in range(asm.Bp):
+            cols[v * asm.Bp + j, j] = 1.0
+        S_cols = lu.solve(cols)
+        ref = S_cols[v * asm.Bp:(v + 1) * asm.Bp, :].T.reshape(-1)
+        assert np.abs(p_diag[v] - ref).max() / scale < 1e-7
+
+
+def test_sigma_blocks_off_diagonal(tmp_path):
+    """Off-diagonal Sigma blocks on the lambda pattern (compact-pose
+    distance inputs) vs the dense inverse."""
+    poses, edges = datasets.make_manhattan_2d(n_poses=80, seed=33)
+    p = str(tmp_path / "m.txt")
+    datasets.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    bs = asm.assemble(asm.snapshot_states(s))
+    marg = Marginals(asm, mode="sparse")
+    sig = np.asarray(marg.sigma_blocks(bs))
+
+    A = partitioned_to_scipy(asm.pp_rows, asm.pp_cols,
+                             np.asarray(bs.pp_blocks), asm.Np,
+                             asm.Bp).toarray()
+    S = np.linalg.inv(A)
+    B = asm.Bp
+    scale = np.abs(S).max()
+    for k in range(len(asm.pp_rows)):
+        r, c = asm.pp_rows[k], asm.pp_cols[k]
+        ref = S[r * B:(r + 1) * B, c * B:(c + 1) * B].reshape(-1)
+        assert np.abs(sig[k] - ref).max() / scale < 1e-9
+
+
+def test_incremental_marginals_repeated_updates(tmp_path):
+    """3+ consecutive Woodbury updates against the cached factor, each
+    matching a from-scratch recompute (reference Update_BlockDiagonal...
+    _ExOmega repeatability, Marginals.h:5224)."""
+    from slam_plus_plus_tpu.marginals.covariance import IncrementalMarginals
+
+    poses, edges = datasets.make_manhattan_2d(n_poses=120, seed=17,
+                                              loop_prob=0.5)
+    # order so the last 4 edges are loop closures (rank-safe to hold out)
+    odo = [e for e in edges if abs(e[1] - e[0]) == 1]
+    clo = [e for e in edges if abs(e[1] - e[0]) != 1]
+    assert len(clo) >= 4
+    ordered = odo + clo
+    p_full = str(tmp_path / "full.txt")
+    # write WITHOUT chronological re-sorting so the holdout stays last
+    with open(p_full, "w") as f:
+        for i, p_ in enumerate(poses):
+            f.write(f"VERTEX2 {i} {p_[0]:.10f} {p_[1]:.10f} {p_[2]:.10f}\n")
+        for (i, j, z, info) in ordered:
+            ut = [info[0, 0], info[0, 1], info[0, 2], info[1, 1],
+                  info[1, 2], info[2, 2]]
+            f.write(f"EDGE2 {i} {j} " +
+                    " ".join(f"{v:.10f}" for v in z) + " " +
+                    " ".join(f"{v:.10f}" for v in ut) + "\n")
+    s_full = parse_g2o(p_full)
+    asm = Assembler(s_full)
+    states = asm.snapshot_states(s_full)
+
+    # counts mask: all edges minus the held-out ones
+    counts = {n: s_full.edge_stores[n].n for n in s_full.edge_stores}
+    name = list(counts)[0]
+    counts[name] -= 4
+    bs0 = asm.assemble_active(states, counts, asm.Np, 0)
+
+    inc = IncrementalMarginals(asm, max_update_rank=64)
+    inc.compute(bs0)
+    E = s_full.edge_stores[name].n
+
+    for step in range(1, 5):
+        eidx = E - 5 + step
+        G = IncrementalMarginals.omega_sqrt_for_edges(asm, states, name,
+                                                      [eidx])
+        diag = np.asarray(inc.update(G))
+        counts2 = dict(counts)
+        counts2[name] += step
+        bs_now = asm.assemble_active(states, counts2, asm.Np,
+                                     max(asm.Nl, 1))
+        ref = np.asarray(Marginals(asm, mode="dense").compute(bs_now).p_diag)
+        scale = np.abs(ref).max()
+        assert np.abs(diag - ref).max() / scale < 1e-9, f"update {step}"
+    assert inc._rank_used == 4 * 3
