@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from slam_plus_plus_tpu.config import SolverConfig, default_dtype
 from slam_plus_plus_tpu.graph.system import GraphSystem
 from slam_plus_plus_tpu.models.types import EDGE_TYPES, VERTEX_TYPES
-from slam_plus_plus_tpu.robust.losses import huber_weight
+
 
 
 class BlockSystem(NamedTuple):
@@ -333,6 +333,14 @@ class Assembler:
         vts = [VERTEX_TYPES[t] for t in et.vertex_types]
         Bp, Bl = self.Bp, self.Bl
         robust = bool(et.robust) and self.config.solver != "a"
+        loss_name, loss_scale = et.robust_loss, et.robust_scale
+        overrides = self.config.robust_overrides or {}
+        if plan.name in overrides:
+            loss_name, loss_scale = overrides[plan.name]
+        elif "*" in overrides:
+            loss_name, loss_scale = overrides["*"]
+        from slam_plus_plus_tpu.robust.losses import LOSSES
+        loss_fn = LOSSES[loss_name]
 
         if et.expectation is not None:
             # reference parity mode: jacobian of the expectation h (negated
@@ -369,9 +377,11 @@ class Assembler:
 
             info_w = info
             if robust:
-                # reference: w = Huber(|e| / 0.3) scales the information
-                # (SE3_Types.h:128, RobustUtils.h:368-440)
-                info_w = info * huber_weight(jnp.linalg.norm(r) / 0.3)
+                # reference: w = loss(|e| / scale) scales the information
+                # (SE3_Types.h:128, RobustUtils.h:368-440); the weight is
+                # re-evaluated at every (re)linearization — IRLS
+                # (Notify_LinearizationChange, NonlinearSolver_Lambda.h:455)
+                info_w = info * loss_fn(jnp.linalg.norm(r) / loss_scale)
 
             padded = []
             for k in range(len(vts)):

@@ -81,6 +81,12 @@ class SolverConfig:
     damping_init: float = 0.0        # LM initial damping; 0 = derive from diagonal
     dogleg_radius: float = 1.0
     verbose: bool = False
+    # per-edge-type robust loss overrides: {edge_type_name: (loss, scale)}
+    # with loss in robust.losses.LOSSES; overrides the type registry's
+    # defaults (reference: robust mixin template parameters,
+    # include/slam/RobustUtils.h:368-502).  {"*": (...)} applies to every
+    # robust-enabled edge type.
+    robust_overrides: Optional[dict] = None
 
     def resolved_dtype(self):
         return self.dtype if self.dtype is not None else default_dtype()

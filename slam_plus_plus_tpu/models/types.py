@@ -70,6 +70,14 @@ class EdgeType:
     # incremental replay: (states_tuple, z, slot) -> state for `slot`.
     # None = initialize from the parsed file state (BA vertices).
     jax_initializer: Optional[Callable] = None
+    # robust loss selection (reference: per-edge CRTP robust mixins with
+    # flyweight parameters, include/slam/RobustUtils.h:368,502): the loss
+    # name indexes robust.losses.LOSSES; the error norm is divided by
+    # robust_scale before the weight (the reference's CCTFraction scale,
+    # e.g. 30/100 for CEdgePose3D, SE3_Types.h:128-129).  Effective only
+    # when robust=True; SolverConfig.robust_overrides can re-tune per type.
+    robust_loss: str = "huber"
+    robust_scale: float = 0.3
 
     @property
     def arity(self) -> int:
@@ -89,9 +97,11 @@ def edge_type(name: str, vertex_types: Sequence[str], residual_dim: int,
               robust: bool = False,
               expectation: Optional[Callable] = None,
               error: Optional[Callable] = None,
-              jax_initializer: Optional[Callable] = None) -> EdgeType:
+              jax_initializer: Optional[Callable] = None,
+              robust_loss: str = "huber",
+              robust_scale: float = 0.3) -> EdgeType:
     et = EdgeType(name, tuple(vertex_types), residual_dim, measurement_dim,
                   residual, initializer, robust, expectation, error,
-                  jax_initializer)
+                  jax_initializer, robust_loss, robust_scale)
     EDGE_TYPES[name] = et
     return et

@@ -62,4 +62,7 @@ LOSSES = {
     "logistic": logistic_weight,
     "fair": fair_weight,
     "welsch": welsch_weight,
+    # unit weight: disables robustification for a robust-capable edge type
+    # without changing the type registry (plain least squares)
+    "none": lambda x: jnp.ones_like(jnp.asarray(x, dtype=jnp.result_type(x, 0.0))),
 }
