@@ -260,10 +260,28 @@ class SymbolicPlan:
 # ----------------------------------------------------------------------
 
 class BlockCholeskyFactor(NamedTuple):
-    """Factorization artifacts: per-level (c_inv, W) + dense bottom factor."""
+    """Factorization artifacts: per-level (c_inv, W) + dense bottom factor.
+
+    The bottom is Jacobi-equilibrated before factorization: L is the
+    Cholesky of S A S with S = diag(scale) = diag(A)^-1/2 — pose-graph
+    bottoms span ~8 orders of magnitude on the diagonal, beyond f32's
+    reach without scaling (observed NaN on TPU at w100K scale)."""
     c_invs: Tuple[jnp.ndarray, ...]   # [nE_k, B*B] each
     Ws: Tuple[jnp.ndarray, ...]       # [Ku_k, B*B] each
-    L_bottom: jnp.ndarray             # [nb*B, nb*B] lower Cholesky
+    L_bottom: jnp.ndarray             # [nb*B, nb*B] lower Cholesky (scaled)
+    scale: jnp.ndarray                # [nb*B] equilibration diag
+
+
+def _equilibrated_cholesky(dense):
+    d = jnp.diagonal(dense)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    L = jnp.linalg.cholesky(dense * s[:, None] * s[None, :])
+    return L, s
+
+
+def _bottom_solve(L, s, rhs):
+    y = jax.scipy.linalg.solve_triangular(L, rhs * s, lower=True)
+    return s * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
 class BlockCholeskySolver:
@@ -350,39 +368,42 @@ class BlockCholeskySolver:
         return x
 
     def _factor_solve_impl(self, blocks, eta):
-        H = blocks[self.plan.input_perm]
-        Hb, eta_b, c_invs, Ws, etas = self._descend(H, eta, collect=True)
-        dense = self._bottom_dense(Hb)
-        L = jnp.linalg.cholesky(dense)
-        nb = self.plan.n_bottom * self.B
-        y = jax.scipy.linalg.solve_triangular(L, eta_b.reshape(nb), lower=True)
-        xb = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-        return self._ascend(xb.reshape(self.plan.n_bottom, self.B),
-                            c_invs, Ws, etas)
+        # TPU f32 matmuls default to bf16 MXU passes — fatal inside a deep
+        # elimination + Cholesky chain; force full-precision accumulation
+        # for the solve-critical dense ops
+        with jax.default_matmul_precision("highest"):
+            H = blocks[self.plan.input_perm]
+            Hb, eta_b, c_invs, Ws, etas = self._descend(H, eta, collect=True)
+            dense = self._bottom_dense(Hb)
+            L, s = _equilibrated_cholesky(dense)
+            nb = self.plan.n_bottom * self.B
+            xb = _bottom_solve(L, s, eta_b.reshape(nb))
+            return self._ascend(xb.reshape(self.plan.n_bottom, self.B),
+                                c_invs, Ws, etas)
 
     def _factor_impl(self, blocks):
-        H = blocks[self.plan.input_perm]
-        eta0 = jnp.zeros((self.N, self.B), dtype=blocks.dtype)
-        Hb, _eta, c_invs, Ws, _etas = self._descend(H, eta0, collect=True)
-        L = jnp.linalg.cholesky(self._bottom_dense(Hb))
-        return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L)
+        with jax.default_matmul_precision("highest"):
+            H = blocks[self.plan.input_perm]
+            eta0 = jnp.zeros((self.N, self.B), dtype=blocks.dtype)
+            Hb, _eta, c_invs, Ws, _etas = self._descend(H, eta0, collect=True)
+            L, s = _equilibrated_cholesky(self._bottom_dense(Hb))
+            return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L, s)
 
     def _solve_with_factor_impl(self, f: BlockCholeskyFactor, eta):
         B = self.B
         etas = []
-        for li, lv in enumerate(self.plan.levels):
-            W = f.Ws[li]
-            eta_E = eta[lv.elim_orig]
-            etas.append(eta_E)
-            corr = planar.bmv(W, eta_E[lv.u_elim], B, B)
-            eta = eta[lv.rest_orig] - jax.ops.segment_sum(
-                corr, jnp.asarray(lv.u_rest_next), num_segments=lv.n_next)
-        nb = self.plan.n_bottom * B
-        y = jax.scipy.linalg.solve_triangular(f.L_bottom, eta.reshape(nb),
-                                              lower=True)
-        xb = jax.scipy.linalg.solve_triangular(f.L_bottom.T, y, lower=False)
-        return self._ascend(xb.reshape(self.plan.n_bottom, B),
-                            list(f.c_invs), list(f.Ws), etas)
+        with jax.default_matmul_precision("highest"):
+            for li, lv in enumerate(self.plan.levels):
+                W = f.Ws[li]
+                eta_E = eta[lv.elim_orig]
+                etas.append(eta_E)
+                corr = planar.bmv(W, eta_E[lv.u_elim], B, B)
+                eta = eta[lv.rest_orig] - jax.ops.segment_sum(
+                    corr, jnp.asarray(lv.u_rest_next), num_segments=lv.n_next)
+            nb = self.plan.n_bottom * B
+            xb = _bottom_solve(f.L_bottom, f.scale, eta.reshape(nb))
+            return self._ascend(xb.reshape(self.plan.n_bottom, B),
+                                list(f.c_invs), list(f.Ws), etas)
 
     # -- public ----------------------------------------------------------
 
@@ -417,11 +438,16 @@ class BlockCholeskySolver:
         Every needed Sigma_{rho_i, rho_j} lies on the NEXT level's pattern
         (fill closure) — the recurrence closes exactly like the reference's.
         Returns Sigma blocks on the level-0 pattern in PLAN order."""
+        with jax.default_matmul_precision("highest"):
+            return self._marginals_body(f)
+
+    def _marginals_body(self, f: BlockCholeskyFactor):
         plan, B = self.plan, self.B
         nb = plan.n_bottom * B
         eye = jnp.eye(nb, dtype=f.L_bottom.dtype)
         Linv = jax.scipy.linalg.solve_triangular(f.L_bottom, eye, lower=True)
-        Sig_dense = Linv.T @ Linv
+        # undo the Jacobi equilibration: Sigma = S (S A S)^-1 S
+        Sig_dense = (Linv.T @ Linv) * f.scale[:, None] * f.scale[None, :]
         # scatter the dense bottom inverse back onto the bottom pattern
         bidx = jnp.asarray(plan._bottom_idx)
         Sig = Sig_dense.reshape(-1)[bidx.reshape(-1)].reshape(bidx.shape)
@@ -481,7 +507,7 @@ class BlockCholeskySolver:
         """Marginals from incremental-engine stores (dummy rows sliced)."""
         f = BlockCholeskyFactor(
             tuple(c[:-1] for c in stores["c_invs"]),
-            tuple(w[:-1] for w in stores["Ws"]), stores["L"])
+            tuple(w[:-1] for w in stores["Ws"]), stores["L"], stores["s"])
         return self.marginals(f)
 
     @property

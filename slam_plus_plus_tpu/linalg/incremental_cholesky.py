@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from slam_plus_plus_tpu.ops import planar
 from slam_plus_plus_tpu.linalg.block_cholesky import (
-    BlockCholeskyFactor, BlockCholeskySolver)
+    BlockCholeskyFactor, BlockCholeskySolver, _equilibrated_cholesky)
 
 
 class IncrementalCholesky:
@@ -138,6 +138,10 @@ class IncrementalCholesky:
     def _full_impl(self, H0):
         """Full redescent from level-0 blocks (PLAN order), collecting every
         intermediate the dirty path updates in place."""
+        with jax.default_matmul_precision("highest"):
+            return self._full_body(H0)
+
+    def _full_body(self, H0):
         plan, B = self.plan, self.B
         H_levels, c_invs, Ws, prods = [], [], [], []
         H = H0
@@ -166,11 +170,12 @@ class IncrementalCholesky:
             prods.append(jnp.concatenate([prod, pad]))
             H = Hn
         dense = self.chol._bottom_dense(H)
-        L = jnp.linalg.cholesky(dense)
+        L, s = _equilibrated_cholesky(dense)
         pad = jnp.zeros((1, B * B), dtype=H.dtype)
         H_levels.append(jnp.concatenate([H, pad]))  # bottom pattern blocks
         return dict(H_levels=tuple(H_levels), c_invs=tuple(c_invs),
-                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L)
+                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L,
+                    s=s)
 
     def init_stores(self, H0) -> Dict:
         """H0: level-0 blocks in PLAN order, no dummy row.
@@ -316,6 +321,11 @@ class IncrementalCholesky:
         flat/counts: packed per-level index bundles (see _build_layout).
         stores['H_levels'][0] already contains the applied omega, so level 0
         skips the H update and only needs the delta VALUES."""
+        with jax.default_matmul_precision("highest"):
+            return self._dirty_body(stores, omega_vals, omega_seg, flat,
+                                    counts)
+
+    def _dirty_body(self, stores, omega_vals, omega_seg, flat, counts):
         plan, B = self.plan, self.B
         H_levels = list(stores["H_levels"])
         c_invs = list(stores["c_invs"])
@@ -404,9 +414,10 @@ class IncrementalCholesky:
                 boff[bot_idx][:, None])
         dense = dense.at[bidx_t[bot_idx].reshape(-1)].add(mirr.reshape(-1))
         dense = dense.reshape(nbB, nbB)
-        L = jnp.linalg.cholesky(dense)
+        L, s = _equilibrated_cholesky(dense)
         return dict(H_levels=tuple(H_levels), c_invs=tuple(c_invs),
-                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L)
+                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L,
+                    s=s)
 
     def refactor_dirty(self, stores, dirty_pos: List[np.ndarray],
                        dirty_vals) -> bool:
@@ -430,7 +441,7 @@ class IncrementalCholesky:
                       if len(dirty_vals) > 1 else dirty_vals[0])
         # install the omega-updated level-0 alias before the kernel runs
         inner = {k: stores[k] for k in
-                 ("H_levels", "c_invs", "Ws", "prods", "dense", "L")}
+                 ("H_levels", "c_invs", "Ws", "prods", "dense", "L", "s")}
         inner["H_levels"] = (stores["H0"],) + tuple(stores["H_levels"][1:])
         out = self._dirty_jit(inner, omega_vals, jnp.asarray(seg),
                               flat, cnts)
@@ -441,12 +452,12 @@ class IncrementalCholesky:
     # ------------------------------------------------------------------
 
     def _solve_impl(self, stores, eta0):
-        plan = self.plan
+        plan = self.plan  # precision handled inside _solve_with_factor_impl
         c_invs = tuple(c[:-1] for c in stores["c_invs"])
         Ws = tuple(w[:-1] for w in stores["Ws"])
-        f = BlockCholeskyFactor(c_invs, Ws, stores["L"])
+        f = BlockCholeskyFactor(c_invs, Ws, stores["L"], stores["s"])
         return self.chol._solve_with_factor_impl(f, eta0)
 
     def solve(self, stores, eta0):
         return self._solve_jit(
-            {k: stores[k] for k in ("c_invs", "Ws", "L")}, eta0)
+            {k: stores[k] for k in ("c_invs", "Ws", "L", "s")}, eta0)

@@ -1,3 +1,5 @@
-from slam_plus_plus_tpu.parallel.dist import DistributedAssembler, make_edge_mesh
+from slam_plus_plus_tpu.parallel.dist import (
+    DistributedAssembler, DistributedSchurSolver, make_edge_mesh)
 
-__all__ = ["DistributedAssembler", "make_edge_mesh"]
+__all__ = ["DistributedAssembler", "DistributedSchurSolver",
+           "make_edge_mesh"]

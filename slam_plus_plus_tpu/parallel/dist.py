@@ -117,3 +117,121 @@ class DistributedAssembler(Assembler):
 
     def chi2(self, states):
         return self._chi2_dist_jit(states, self.edge_data)
+
+
+class DistributedSchurSolver:
+    """Schur elimination with the panel products sharded over the mesh.
+
+    The SC = Hpp - sum_l W_l U_l^T accumulation dominates BA solve FLOPs
+    (reference: the two SpDGEMMs, LinearSolver_Schur.h:1744-1767, GPU path
+    LinearSolver_Schur_GPU.cpp:2190); here each device owns a contiguous
+    slice of the (column-sorted) landmark blocks, builds its partial dense
+    panels locally from the REPLICATED BlockSystem, and one psum over ICI
+    reduces the partial SC.  The small reduced solve + landmark backsub run
+    replicated (same reasoning as the reference's dense-Schur default).
+
+    This distributes the reference-equivalent compute 1/n per chip; the
+    collective moves one [nred, nred] array per solve.
+    """
+
+    def __init__(self, asm, mesh: Mesh):
+        from slam_plus_plus_tpu.ops import planar as _planar
+        self.asm = asm
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        if asm.Nl == 0 or asm.Kpl == 0:
+            raise ValueError("Schur solver requires an eliminated class")
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        self.n_reduced = Np * Bp
+
+        n = self.n_shards
+        order = np.argsort(asm.pl_cols, kind="stable")
+        sorted_cols = asm.pl_cols[order]
+        sorted_rows = asm.pl_rows[order]
+        Nl_pad = ((Nl + n - 1) // n) * n
+        self.lm_per_shard = Nl_pad // n
+        # shard boundaries in the sorted block arrays
+        starts = np.searchsorted(sorted_cols,
+                                 np.arange(n + 1) * self.lm_per_shard)
+        M = int((starts[1:] - starts[:-1]).max())
+        self.blocks_per_shard = M
+
+        # per-shard padded index/mask tables [n, M]
+        sel = np.zeros((n, M), dtype=np.int64)
+        mask = np.zeros((n, M))
+        rel_col = np.zeros((n, M), dtype=np.int64)
+        for si in range(n):
+            lo, hi = starts[si], starts[si + 1]
+            k = hi - lo
+            sel[si, :k] = order[lo:hi]
+            mask[si, :k] = 1.0
+            rel_col[si, :k] = sorted_cols[lo:hi] - si * self.lm_per_shard
+        self._sel = jnp.asarray(sel)
+        self._mask = jnp.asarray(mask)
+        self._rel = jnp.asarray(rel_col)
+        # flat panel indices per ORIGINAL block id, assuming chunk-relative
+        # column 0 (the shard adds rel_col * Bl)
+        self._panel_base = jnp.asarray(_planar.scatter_flat_indices(
+            asm.pl_rows, np.zeros_like(asm.pl_cols), Bp, Bl,
+            row_stride=self.lm_per_shard * Bl))
+        # reuse the single-chip solver for dense Hpp scatter + backsub
+        from slam_plus_plus_tpu.linalg.schur import SchurSolver
+        self._single = SchurSolver(asm)
+
+        shard_ids = jnp.arange(n)
+        in_specs = (P(), P(), P("edges"))
+        self._sc_partial = jax.jit(jax.shard_map(
+            self._partial_sc, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            check_vma=False))
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._shard_ids = shard_ids
+
+    def _partial_sc(self, u, w, shard_id):
+        """Inside shard_map: this shard's panel product, psum'd."""
+        from slam_plus_plus_tpu.ops import planar as _planar
+        asm = self.asm
+        Bp, Bl = asm.Bp, asm.Bl
+        si = shard_id[0]
+        selg = self._sel[si]
+        maskg = self._mask[si][:, None].astype(u.dtype)
+        idx = self._panel_base[selg] + (self._rel[si] * Bl)[:, None]
+        nred = self.n_reduced
+        panel_elems = nred * self.lm_per_shard * Bl
+
+        def build(vals):
+            p = jnp.zeros((panel_elems,), dtype=u.dtype)
+            return p.at[idx.reshape(-1)].add(vals.reshape(-1)).reshape(
+                nred, self.lm_per_shard * Bl)
+
+        up = build(u[selg] * maskg)
+        wp = build(w[selg] * maskg)
+        sc_part = -(wp @ up.T)
+        return jax.lax.psum(sc_part, "edges")
+
+    def _solve_impl(self, bs):
+        from slam_plus_plus_tpu.ops import planar as _planar
+        asm = self.asm
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        sng = self._single
+        c_inv = _planar.binv(bs.ll_blocks, Bl)
+        u = bs.pl_blocks
+        w = _planar.bmm(u, c_inv[sng._pl_cols_dev], Bp, Bl, Bl)
+        w_eta = _planar.bmv(w, bs.eta_l[sng._pl_cols_dev], Bp, Bl)
+        rhs_p = bs.eta_p - jax.ops.segment_sum(
+            w_eta, sng._pl_rows_dev, num_segments=Np)
+        sc = sng._dense_pp(bs.pp_blocks) + self._sc_partial(
+            u, w, self._shard_ids)
+        L = jnp.linalg.cholesky(sc)
+        nred = self.n_reduced
+        y = jax.scipy.linalg.solve_triangular(L, rhs_p.reshape(nred),
+                                              lower=True)
+        dx_p = jax.scipy.linalg.solve_triangular(L.T, y,
+                                                 lower=False).reshape(Np, Bp)
+        ut_dx = _planar.bmv_At(u, dx_p[sng._pl_rows_dev], Bp, Bl)
+        rhs_l = bs.eta_l - jax.ops.segment_sum(
+            ut_dx, sng._pl_cols_dev, num_segments=Nl)
+        dx_l = _planar.bmv(c_inv, rhs_l, Bl, Bl)
+        return dx_p, dx_l
+
+    def solve(self, bs):
+        return self._solve_jit(bs)

@@ -82,8 +82,26 @@ class GaussNewtonSolver:
                 self.config.linear_solver in ("auto", "block_cholesky")):
             from slam_plus_plus_tpu.linalg.block_cholesky import (
                 BlockCholeskySolver)
+            from slam_plus_plus_tpu.linalg.spmv import lambda_spmv
             self._sparse_chol = BlockCholeskySolver(
                 asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp)
+            chol = self._sparse_chol
+            # f32 deep eliminations lose ~3-4 digits; a couple of cheap
+            # refinement sweeps against the cached factor restore the GN
+            # step to working precision (f64 needs none)
+            n_refine = (self.config.refine_iterations
+                        if self.asm.dtype == jnp.float32 else 0)
+
+            def sparse_solve(bs):
+                f = chol._factor_impl(bs.pp_blocks)
+                dx = chol._solve_with_factor_impl(f, bs.eta_p)
+                zl = jnp.zeros((max(asm.Nl, 1), asm.Bl), dtype=dx.dtype)
+                for _ in range(n_refine):
+                    hv, _ = lambda_spmv(asm, bs, dx, zl)
+                    dx = dx + chol._solve_with_factor_impl(f, bs.eta_p - hv)
+                return dx
+
+            self._sparse_solve_jit = jax.jit(sparse_solve)
 
     def _solve(self, block_system):
         asm = self.asm
@@ -93,8 +111,7 @@ class GaussNewtonSolver:
         if self._dense_direct:
             return self._dense_solve_jit(block_system), zeros_l
         if self._sparse_chol is not None:
-            return (self._sparse_chol.solve(block_system.pp_blocks,
-                                            block_system.eta_p), zeros_l)
+            return self._sparse_solve_jit(block_system), zeros_l
         if asm.Nl:
             dx_p, dx_l = self._host.solve_partitioned(asm, block_system)
             return (jnp.asarray(dx_p, dtype=block_system.eta_p.dtype),

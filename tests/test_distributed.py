@@ -79,3 +79,63 @@ def test_distributed_full_step(tmp_path):
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@needs_devices
+def test_distributed_schur_matches_single(tmp_path):
+    """Sharded SC panels + psum == single-chip Schur solve (the GPU-vs-CPU
+    verification analogue, LinearSolver_Schur_GPU.cpp:58-61)."""
+    from slam_plus_plus_tpu.linalg.schur import SchurSolver
+    from slam_plus_plus_tpu.parallel import make_edge_mesh
+    from slam_plus_plus_tpu.parallel.dist import DistributedSchurSolver
+    from slam_plus_plus_tpu.solvers.lm import damp_system
+
+    cams, pts, obs = D.make_ba_scene(n_cams=12, n_points=160, seed=111)
+    p = str(tmp_path / "ba.txt")
+    D.write_g2o_ba(p, cams, pts, obs)
+    system = parse_g2o(p)
+    asm = Assembler(system)
+    bs = asm.assemble(asm.snapshot_states(system))
+    bs = damp_system(bs, float(bs.max_hdiag) * 1e-3, asm.pp_diag_ids_dev)
+
+    single = SchurSolver(asm)
+    dxp1, dxl1 = single.solve(bs)
+    mesh = make_edge_mesh(8)
+    dist = DistributedSchurSolver(asm, mesh)
+    dxp8, dxl8 = dist.solve(bs)
+    scale = max(float(np.abs(np.asarray(dxp1)).max()), 1e-12)
+    assert np.abs(np.asarray(dxp8) - np.asarray(dxp1)).max() < 1e-9 * scale
+    assert np.abs(np.asarray(dxl8) - np.asarray(dxl1)).max() < 1e-8
+
+
+@needs_devices
+def test_distributed_schur_flops_scaling(tmp_path):
+    """Per-device FLOPs of the sharded SC panel product must scale ~1/n
+    (>= 70% efficiency — the SURVEY gate; wall-clock on virtual CPU devices
+    shares one physical socket, so the partitioning is measured via XLA
+    cost analysis of the per-shard program)."""
+    from slam_plus_plus_tpu.parallel import make_edge_mesh
+    from slam_plus_plus_tpu.parallel.dist import DistributedSchurSolver
+
+    cams, pts, obs = D.make_ba_scene(n_cams=20, n_points=600, seed=112)
+    p = str(tmp_path / "ba.txt")
+    D.write_g2o_ba(p, cams, pts, obs)
+    system = parse_g2o(p)
+    asm = Assembler(system)
+    bs = asm.assemble(asm.snapshot_states(system))
+
+    import jax
+    flops = {}
+    for n in (1, 2, 4):
+        mesh = make_edge_mesh(n)
+        dist = DistributedSchurSolver(asm, mesh)
+        comp = jax.jit(dist._solve_impl).lower(bs).compile()
+        fl = comp.cost_analysis()
+        flops[n] = float((fl[0] if isinstance(fl, (list, tuple))
+                          else fl)["flops"])
+    # the panel product dominates; per-device total must drop with n
+    # cost_analysis reports the whole program (per device): efficiency =
+    # flops(1dev) / (n * flops_per_device(ndev))
+    eff = {n: flops[1] / (n * flops[n]) for n in (2, 4)}
+    assert eff[2] >= 0.7, (flops, eff)
+    assert eff[4] >= 0.5, (flops, eff)
