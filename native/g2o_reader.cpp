@@ -84,9 +84,11 @@ const std::unordered_map<std::string, TokenSpec>& token_map() {
         {"ODOMETRY", {TK_EDGE2, 2, 9}},
         {"LANDMARK2:XY", {TK_LANDMARK2_XY, 2, 2}},
         {"EDGE_SE2_XY", {TK_LANDMARK2_XY, 2, 2}},
+        {"EDGE_BEARING_SE2_XY", {TK_LANDMARK2_XY, 2, 2}},
         {"LANDMARK", {TK_LANDMARK2_XY, 2, 2}},
         {"LANDMARK2:RB", {TK_LANDMARK2_RB, 2, 5}},
         {"EDGE_SE2_RB", {TK_LANDMARK2_RB, 2, 5}},
+        {"EDGE_BEARING_SE2_RB", {TK_LANDMARK2_RB, 2, 5}},
         {"VERTEX3", {TK_VERTEX3, 1, 6}},
         {"VERTEX_SE3", {TK_VERTEX3, 1, 6}},
         {"EDGE3", {TK_EDGE3, 2, 27}},

@@ -106,6 +106,18 @@ class Assembler:
         self.type_class: Dict[str, str] = {}
         any_landmark = any(
             VERTEX_TYPES[t].schur_class == "landmark" for t in self.type_names)
+        if any_landmark and self.config.schur_split == "off":
+            any_landmark = False  # single mixed class: MIS interleaves
+        elif any_landmark and self.config.schur_split == "auto":
+            # split only when the reduced system stays dense-solvable;
+            # otherwise the mixed MIS elimination (landmarks are ideal
+            # low-degree candidates) avoids the all-landmarks-first fill
+            pose_dims = sum(
+                VERTEX_TYPES[t].tangent_dim * system.vertex_stores[t].n
+                for t in self.type_names
+                if VERTEX_TYPES[t].schur_class != "landmark")
+            if pose_dims > 20000:
+                any_landmark = False
         for t in self.type_names:
             vt = VERTEX_TYPES[t]
             self.type_class[t] = "l" if (any_landmark and vt.schur_class == "landmark") else "p"

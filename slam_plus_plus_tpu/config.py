@@ -73,6 +73,13 @@ class SolverConfig:
     solver: str = "lambda"           # a | lambda | lambda_lm | lambda_dl | fast_l
     linear_solver: str = "auto"      # auto | dense | block_cholesky | schur | scipy
     use_schur: bool = False
+    # landmark-class elimination policy: "auto" splits off the landmark
+    # class for Schur only when the reduced (pose/camera) system is small
+    # enough for the dense MXU path — the reference's own default applies
+    # Schur on request (-us) and solves many-pose landmark SLAM with a
+    # fill-reducing ordering over ALL variables (unit_tests.sh cityTrees10k
+    # row has no -us).  "off" always mixes; "on" always splits.
+    schur_split: str = "auto"
     dtype: Optional[object] = None   # None = default_dtype()
     use_pallas: str = "auto"         # auto | on | off — fused TPU edge kernels
     refine_iterations: int = 2       # iterative-refinement sweeps for f32 solves

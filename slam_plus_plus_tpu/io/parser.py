@@ -126,7 +126,9 @@ def peek_dataset(path: str, max_lines: int = 5000) -> Dict[str, bool]:
             tok = line.split(maxsplit=1)[0].upper() if line.strip() else ""
             if tok in ("EDGE2", "EDGE_SE2", "EDGE", "ODOMETRY", "VERTEX2", "VERTEX_SE2"):
                 flags["has_se2"] = True
-            elif tok in ("LANDMARK2:XY", "EDGE_SE2_XY", "LANDMARK", "LANDMARK2:RB", "EDGE_SE2_RB"):
+            elif tok in ("LANDMARK2:XY", "EDGE_SE2_XY", "LANDMARK",
+                         "EDGE_BEARING_SE2_XY", "LANDMARK2:RB",
+                         "EDGE_SE2_RB", "EDGE_BEARING_SE2_RB"):
                 flags["has_landmark2d"] = True
             elif tok in ("EDGE3", "EDGE_SE3", "EDGE3:AXISANGLE", "EDGE_SE3:AXISANGLE", "VERTEX3", "VERTEX_SE3"):
                 flags["has_se3"] = True
@@ -134,7 +136,8 @@ def peek_dataset(path: str, max_lines: int = 5000) -> Dict[str, bool]:
                 flags["has_landmark3d"] = True
             elif tok in ("EDGE_PROJECT_P2MC", "EDGE_P2MC", "EDGE_P2C", "VERTEX_CAM"):
                 flags["has_ba"] = True
-            elif tok in ("EDGE_PROJECT_P2MCI", "EDGE_P2CI", "VERTEX_INTRINSICS"):
+            elif tok in ("EDGE_PROJECT_P2MCI", "EDGE_P2CI", "EDGE_P2MCI",
+                         "VERTEX_INTRINSICS"):
                 flags["has_ba"] = True
                 flags["has_intrinsics"] = True
             elif tok in ("EDGE_PROJECT_P2SC", "EDGE_P2SC", "VERTEX_SCAM"):
@@ -225,7 +228,8 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 stats.edges += 1
                 if on_edge:
                     on_edge(system)
-            elif tok in ("LANDMARK2:XY", "EDGE_SE2_XY", "LANDMARK"):
+            elif tok in ("LANDMARK2:XY", "EDGE_SE2_XY", "LANDMARK",
+                         "EDGE_BEARING_SE2_XY"):
                 i, j = int(vals[0]), int(vals[1])
                 xy = np.array([float(vals[2]), float(vals[3])])
                 z, info = se2_types.xy_measurement_to_polar(xy)
@@ -233,7 +237,8 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 stats.edges += 1
                 if on_edge:
                     on_edge(system)
-            elif tok in ("LANDMARK2:RB", "EDGE_SE2_RB"):
+            elif tok in ("LANDMARK2:RB", "EDGE_SE2_RB",
+                         "EDGE_BEARING_SE2_RB"):
                 i, j = int(vals[0]), int(vals[1])
                 z = np.array([float(vals[2]), float(vals[3])])
                 info = _sym_from_upper([float(v) for v in vals[4:7]], 2)
@@ -337,7 +342,7 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 stats.edges += 1
                 if on_edge:
                     on_edge(system)
-            elif tok in ("EDGE_PROJECT_P2MCI", "EDGE_P2CI"):
+            elif tok in ("EDGE_PROJECT_P2MCI", "EDGE_P2CI", "EDGE_P2MCI"):
                 pt, cam, intr = int(vals[0]), int(vals[1]), int(vals[2])
                 z = np.array([float(vals[3]), float(vals[4])])
                 info = _sym_from_upper([float(v) for v in vals[5:8]], 2)

@@ -126,6 +126,14 @@ class SymbolicPlan:
                 f"graph too dense for the MIS-Schur engine (raise max_degree "
                 f"or use the Schur/landmark path)")
 
+        # level-0 row/col per (sorted) pair — for the Jacobi scaling of the
+        # input blocks (and of incremental deltas)
+        keys0 = np.sort(rows * N + cols)
+        self.rows0 = (keys0 // N).astype(np.int64)
+        self.cols0 = (keys0 % N).astype(np.int64)
+        self.diag_pos0 = np.flatnonzero(self.rows0 == self.cols0)
+        assert len(self.diag_pos0) == N, "every vertex needs a diagonal pair"
+
         # bottom: dense scatter plan for the remaining pattern
         self.n_bottom = n
         r = keys // n
@@ -262,20 +270,30 @@ class SymbolicPlan:
 class BlockCholeskyFactor(NamedTuple):
     """Factorization artifacts: per-level (c_inv, W) + dense bottom factor.
 
-    The bottom is Jacobi-equilibrated before factorization: L is the
-    Cholesky of S A S with S = diag(scale) = diag(A)^-1/2 — pose-graph
-    bottoms span ~8 orders of magnitude on the diagonal, beyond f32's
-    reach without scaling (observed NaN on TPU at w100K scale)."""
+    The whole elimination runs on the Jacobi-equilibrated system
+    S lambda S with S = diag(lambda)^-1/2 (s_vert): SLAM lambdas mix
+    rotation/translation information scales and grow ~8 decimal orders
+    through a deep elimination — beyond f32 without scaling (observed:
+    negative bottom pivots / NaN Cholesky on TPU at w100K scale).  With a
+    unit input diagonal the level growth stays bounded and f32 survives;
+    solves scale the rhs in and the solution out.  The bottom additionally
+    re-equilibrates its own dense diagonal (scale)."""
     c_invs: Tuple[jnp.ndarray, ...]   # [nE_k, B*B] each
     Ws: Tuple[jnp.ndarray, ...]       # [Ku_k, B*B] each
     L_bottom: jnp.ndarray             # [nb*B, nb*B] lower Cholesky (scaled)
-    scale: jnp.ndarray                # [nb*B] equilibration diag
+    scale: jnp.ndarray                # [nb*B] bottom equilibration diag
+    s_vert: jnp.ndarray               # [N, B] level-0 Jacobi scaling
 
 
 def _equilibrated_cholesky(dense):
     d = jnp.diagonal(dense)
-    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
-    L = jnp.linalg.cholesky(dense * s[:, None] * s[None, :])
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-10))
+    A = dense * s[:, None] * s[None, :]
+    if dense.dtype == jnp.float32:
+        # f32: guarantee positive pivots under round-off (the solve is
+        # corrected by iterative refinement against the true residual)
+        A = A + 1e-5 * jnp.eye(A.shape[0], dtype=dense.dtype)
+    L = jnp.linalg.cholesky(A)
     return L, s
 
 
@@ -304,6 +322,17 @@ class BlockCholeskySolver:
         self._solve_with_factor_jit = jax.jit(self._solve_with_factor_impl)
 
     # -- numeric kernels -------------------------------------------------
+
+    def _jacobi_scale(self, H):
+        """s_vert [N, B] = diag(H)^-1/2 and the per-pair planar scale array
+        (outer product of the pair's row/col scales)."""
+        plan, B = self.plan, self.B
+        d = planar.bdiag(H[jnp.asarray(plan.diag_pos0)], B)
+        s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        sr = s[jnp.asarray(plan.rows0)]        # [K, B]
+        sc = s[jnp.asarray(plan.cols0)]        # [K, B]
+        outer = (sr[:, :, None] * sc[:, None, :]).reshape(H.shape[0], B * B)
+        return s, outer
 
     def _descend(self, H, eta, collect):
         """Run the elimination levels; returns bottom (H, eta) and artifacts."""
@@ -373,26 +402,32 @@ class BlockCholeskySolver:
         # for the solve-critical dense ops
         with jax.default_matmul_precision("highest"):
             H = blocks[self.plan.input_perm]
-            Hb, eta_b, c_invs, Ws, etas = self._descend(H, eta, collect=True)
+            sv, outer = self._jacobi_scale(H)
+            Hb, eta_b, c_invs, Ws, etas = self._descend(H * outer, eta * sv,
+                                                        collect=True)
             dense = self._bottom_dense(Hb)
             L, s = _equilibrated_cholesky(dense)
             nb = self.plan.n_bottom * self.B
             xb = _bottom_solve(L, s, eta_b.reshape(nb))
-            return self._ascend(xb.reshape(self.plan.n_bottom, self.B),
-                                c_invs, Ws, etas)
+            dx = self._ascend(xb.reshape(self.plan.n_bottom, self.B),
+                              c_invs, Ws, etas)
+            return dx * sv
 
     def _factor_impl(self, blocks):
         with jax.default_matmul_precision("highest"):
             H = blocks[self.plan.input_perm]
+            sv, outer = self._jacobi_scale(H)
             eta0 = jnp.zeros((self.N, self.B), dtype=blocks.dtype)
-            Hb, _eta, c_invs, Ws, _etas = self._descend(H, eta0, collect=True)
+            Hb, _eta, c_invs, Ws, _etas = self._descend(H * outer, eta0,
+                                                        collect=True)
             L, s = _equilibrated_cholesky(self._bottom_dense(Hb))
-            return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L, s)
+            return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L, s, sv)
 
     def _solve_with_factor_impl(self, f: BlockCholeskyFactor, eta):
         B = self.B
         etas = []
         with jax.default_matmul_precision("highest"):
+            eta = eta * f.s_vert
             for li, lv in enumerate(self.plan.levels):
                 W = f.Ws[li]
                 eta_E = eta[lv.elim_orig]
@@ -402,8 +437,9 @@ class BlockCholeskySolver:
                     corr, jnp.asarray(lv.u_rest_next), num_segments=lv.n_next)
             nb = self.plan.n_bottom * B
             xb = _bottom_solve(f.L_bottom, f.scale, eta.reshape(nb))
-            return self._ascend(xb.reshape(self.plan.n_bottom, B),
-                                list(f.c_invs), list(f.Ws), etas)
+            dx = self._ascend(xb.reshape(self.plan.n_bottom, B),
+                              list(f.c_invs), list(f.Ws), etas)
+            return dx * f.s_vert
 
     # -- public ----------------------------------------------------------
 
@@ -495,7 +531,12 @@ class BlockCholeskySolver:
                                  planar.btranspose(Sig_ER[:Ku], B, B))
                 Sig_k = Sig_k.at[jnp.asarray(lv.u_src)].set(uval)
             Sig = Sig_k
-        return Sig
+        # undo the level-0 Jacobi scaling: Sigma = S Sigma' S
+        sv = f.s_vert
+        sr = sv[jnp.asarray(plan.rows0)]
+        sc = sv[jnp.asarray(plan.cols0)]
+        outer = (sr[:, :, None] * sc[:, None, :]).reshape(Sig.shape[0], B * B)
+        return Sig * outer
 
     def marginals(self, f: BlockCholeskyFactor):
         """Sigma on the level-0 pattern (PLAN order), from a cached factor."""
@@ -507,7 +548,8 @@ class BlockCholeskySolver:
         """Marginals from incremental-engine stores (dummy rows sliced)."""
         f = BlockCholeskyFactor(
             tuple(c[:-1] for c in stores["c_invs"]),
-            tuple(w[:-1] for w in stores["Ws"]), stores["L"], stores["s"])
+            tuple(w[:-1] for w in stores["Ws"]), stores["L"], stores["s"],
+            stores["sv"])
         return self.marginals(f)
 
     @property

@@ -143,8 +143,11 @@ class IncrementalCholesky:
 
     def _full_body(self, H0):
         plan, B = self.plan, self.B
+        # level-0 Jacobi equilibration (see BlockCholeskyFactor): all stores
+        # live in the SCALED space; incremental deltas are scaled on entry
+        sv, outer0 = self.chol._jacobi_scale(H0)
         H_levels, c_invs, Ws, prods = [], [], [], []
-        H = H0
+        H = H0 * outer0
         for li, lv in enumerate(plan.levels):
             dt = H.dtype
             pad = jnp.zeros((1, B * B), dtype=dt)
@@ -175,7 +178,9 @@ class IncrementalCholesky:
         H_levels.append(jnp.concatenate([H, pad]))  # bottom pattern blocks
         return dict(H_levels=tuple(H_levels), c_invs=tuple(c_invs),
                     Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L,
-                    s=s)
+                    s=s, sv=sv,
+                    outer0=jnp.concatenate(
+                        [outer0, jnp.ones((1, B * B), dtype=H0.dtype)]))
 
     def init_stores(self, H0) -> Dict:
         """H0: level-0 blocks in PLAN order, no dummy row.
@@ -188,7 +193,8 @@ class IncrementalCholesky:
         return out
 
     def refactor_full(self, stores) -> Dict:
-        out = dict(self._full_jit(stores["H0"][:-1]))
+        raw = stores["H0"][:-1] / stores["outer0"][:-1]
+        out = dict(self._full_jit(raw))
         out["H0"] = out["H_levels"][0]
         return out
 
@@ -455,9 +461,10 @@ class IncrementalCholesky:
         plan = self.plan  # precision handled inside _solve_with_factor_impl
         c_invs = tuple(c[:-1] for c in stores["c_invs"])
         Ws = tuple(w[:-1] for w in stores["Ws"])
-        f = BlockCholeskyFactor(c_invs, Ws, stores["L"], stores["s"])
+        f = BlockCholeskyFactor(c_invs, Ws, stores["L"], stores["s"],
+                                stores["sv"])
         return self.chol._solve_with_factor_impl(f, eta0)
 
     def solve(self, stores, eta0):
         return self._solve_jit(
-            {k: stores[k] for k in ("c_invs", "Ws", "L", "s")}, eta0)
+            {k: stores[k] for k in ("c_invs", "Ws", "L", "s", "sv")}, eta0)

@@ -57,7 +57,8 @@ class SchurSolver:
     """
 
     def __init__(self, asm, dense_reduced: Optional[bool] = None,
-                 chunk: Optional[int] = None, panel_mode: str = "auto"):
+                 chunk: Optional[int] = None, panel_mode: str = "auto",
+                 sparse_reduced_limit: int = 20000):
         """panel_mode: how the dense panels are built from planar blocks.
         "scatter": flat-index scatter-add (general; XLA scatters serialize
         on TPU).  "onehot": per-landmark one-hot GEMM construction — turns
@@ -69,6 +70,18 @@ class SchurSolver:
             raise ValueError("Schur solver requires an eliminated class")
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         self.n_reduced = Np * Bp
+
+        # many-pose landmark SLAM (cityTrees10k / victoria-park class): the
+        # reduced system is itself big and sparse — form SC block-sparsely
+        # and solve it with the nested MIS-Schur engine (the reference's
+        # sparse blocky reduced solve, LinearSolver_Schur.h:1840-1849),
+        # instead of densifying [Np*Bp]^2
+        self.sparse_reduced = (dense_reduced is not True and
+                               self.n_reduced > sparse_reduced_limit)
+        if self.sparse_reduced:
+            self._build_sparse_reduced()
+            self._solve_jit = jax.jit(self._solve_sparse_impl)
+            return
         self.chunk = chunk or _pick_chunk(Nl, self.n_reduced, Bl)
         self.n_chunks = (Nl + self.chunk - 1) // self.chunk
 
@@ -133,6 +146,77 @@ class SchurSolver:
         self._tperm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
 
         self._solve_jit = jax.jit(self._solve_impl)
+
+    def _build_sparse_reduced(self):
+        """Host plan: SC pattern = pp pairs + landmark-induced fill pairs;
+        per-landmark (i<=j) observation pairs feed batched planar products
+        segment-summed into the pattern (one more MIS level, with the whole
+        landmark class as the independent set)."""
+        asm = self.asm
+        Np = asm.Np
+        order = np.argsort(asm.pl_cols, kind="stable")
+        rows_s = asm.pl_rows[order]
+        counts = np.bincount(asm.pl_cols, minlength=asm.Nl)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pa_l, pb_l = [], []
+        for d in np.unique(counts):
+            if d == 0:
+                continue
+            g = np.flatnonzero(counts == d)
+            ii, jj = np.triu_indices(d)
+            base = starts[g][:, None]
+            pa_l.append((base + ii[None, :]).ravel())
+            pb_l.append((base + jj[None, :]).ravel())
+        pa = np.concatenate(pa_l) if pa_l else np.zeros(0, dtype=np.int64)
+        pb = np.concatenate(pb_l) if pb_l else np.zeros(0, dtype=np.int64)
+        ra, rb = rows_s[pa], rows_s[pb]
+        p_flip = ra > rb
+        fill_keys = np.where(p_flip, rb * Np + ra, ra * Np + rb)
+        pp_keys = asm.pp_rows * Np + asm.pp_cols
+        sc_keys = np.unique(np.concatenate([pp_keys, fill_keys]))
+        self._sc_rows = sc_keys // Np
+        self._sc_cols = sc_keys % Np
+        self._pp_to_sc = jnp.asarray(np.searchsorted(sc_keys, pp_keys))
+        self._fill_dst = jnp.asarray(np.searchsorted(sc_keys, fill_keys))
+        self._fill_pa = jnp.asarray(order[pa])   # original pl block ids
+        self._fill_pb = jnp.asarray(order[pb])
+        self._fill_flip = jnp.asarray(p_flip)
+        self.Ksc = len(sc_keys)
+        from slam_plus_plus_tpu.linalg.block_cholesky import (
+            BlockCholeskySolver)
+        self._reduced_chol = BlockCholeskySolver(
+            self._sc_rows, self._sc_cols, Np, asm.Bp)
+        self._pl_rows_dev = jnp.asarray(asm.pl_rows)
+        self._pl_cols_dev = jnp.asarray(asm.pl_cols)
+        self._tperm = [i * asm.Bp + j for j in range(asm.Bp)
+                       for i in range(asm.Bp)]
+
+    def _solve_sparse_impl(self, system):
+        asm = self.asm
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        dt = system.pp_blocks.dtype
+        c_inv = planar.binv(system.ll_blocks, Bl)
+        u = system.pl_blocks
+        w = planar.bmm(u, c_inv[self._pl_cols_dev], Bp, Bl, Bl)
+        w_eta = planar.bmv(w, system.eta_l[self._pl_cols_dev], Bp, Bl)
+        rhs_p = system.eta_p - jax.ops.segment_sum(
+            w_eta, self._pl_rows_dev, num_segments=Np)
+
+        sc = jnp.zeros((self.Ksc, Bp * Bp), dtype=dt)
+        sc = sc.at[self._pp_to_sc].set(system.pp_blocks)
+        prod = planar.bmm_A_Bt(w[self._fill_pa], u[self._fill_pb],
+                               Bp, Bl, Bp)
+        prod = jnp.where(self._fill_flip[:, None],
+                         planar.btranspose(prod, Bp, Bp), prod)
+        sc = sc - jax.ops.segment_sum(prod, self._fill_dst,
+                                      num_segments=self.Ksc)
+        dx_p = self._reduced_chol._factor_solve_impl(sc, rhs_p)
+
+        ut_dx = planar.bmv_At(u, dx_p[self._pl_rows_dev], Bp, Bl)
+        rhs_l = system.eta_l - jax.ops.segment_sum(
+            ut_dx, self._pl_cols_dev, num_segments=Nl)
+        dx_l = planar.bmv(c_inv, rhs_l, Bl, Bl)
+        return dx_p, dx_l
 
     def _dense_pp(self, pp_blocks):
         """Planar upper block pairs -> dense symmetric [nred, nred]."""

@@ -73,7 +73,12 @@ class Marginals:
         self._schur_mode = asm.Nl > 0 and asm.Kpl > 0
         if self._schur_mode:
             from slam_plus_plus_tpu.linalg.schur import SchurSolver
-            self._schur = SchurSolver(asm)
+            self._schur = SchurSolver(asm, dense_reduced=True)
+            if asm.Np * asm.Bp > 20000:
+                raise NotImplementedError(
+                    "Schur-domain marginals densify the reduced system; "
+                    "for many-pose landmark SLAM use the pose-graph sparse "
+                    "recurrent path or request fewer parts")
         else:
             self._schur = None
         self._sparse = None

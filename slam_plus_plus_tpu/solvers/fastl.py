@@ -98,6 +98,17 @@ class FastLSolver:
 
         self._apply_scatter = jax.jit(apply_scatter, donate_argnums=(0, 1))
 
+        def apply_scatter_scaled(H0, eta0, outer0, pos, vals, eta_slots,
+                                 eta_vals):
+            # incremental stores live in the Jacobi-scaled space; omega
+            # deltas scale by the pair's frozen row/col scaling on entry
+            # (eta0 stays raw — the solve scales it)
+            return (H0.at[pos].add(vals * outer0[pos]),
+                    eta0.at[eta_slots].add(eta_vals))
+
+        self._apply_scatter_scaled = jax.jit(apply_scatter_scaled,
+                                             donate_argnums=(0, 1))
+
     # ------------------------------------------------------------------
 
     def _build_replay_plan(self) -> None:
@@ -244,8 +255,15 @@ class FastLSolver:
         for (en, el, nm) in pending:
             pos, vals, eta_slots, eta_vals = self._omega_fns[en](
                 states, asm.edge_data, el, jnp.asarray(nm, dtype=asm.dtype))
-            stores["H0"], eta0 = self._apply_scatter(
-                stores["H0"], eta0, pos, vals, eta_slots, eta_vals)
+            if self.inc is not None:
+                outer0 = stores["outer0"]
+                stores["H0"], eta0 = self._apply_scatter_scaled(
+                    stores["H0"], eta0, outer0, pos, vals, eta_slots,
+                    eta_vals)
+                vals = vals * outer0[pos]  # dirty-engine deltas, scaled
+            else:
+                stores["H0"], eta0 = self._apply_scatter(
+                    stores["H0"], eta0, pos, vals, eta_slots, eta_vals)
             pos_meta, _sw = self._omega_meta[en]
             pos_l.append(np.array([int(p[el]) for p in pos_meta],
                                   dtype=np.int64))

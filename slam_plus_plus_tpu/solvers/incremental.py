@@ -103,8 +103,9 @@ class IncrementalSolver:
         # synchronization — steps stream asynchronously to the device, which
         # matters enormously when dispatch latency is high (remote TPU)
         self._fused_step = None
-        if self.mode == "fastl" and (self._schur is not None or
-                                     self._dense_direct):
+        schur_fusable = (self._schur is not None and
+                         not getattr(self._schur, "sparse_reduced", False))
+        if self.mode == "fastl" and (schur_fusable or self._dense_direct):
             def fused(states, edge_data, counts, nap, nal):
                 bs = self.asm._assemble_active_impl(states, edge_data,
                                                     counts, nap, nal)
