@@ -43,10 +43,14 @@ from slam_plus_plus_tpu.linalg.block_cholesky import (
 
 class IncrementalCholesky:
     def __init__(self, chol: BlockCholeskySolver,
-                 caps: Optional[List[dict]] = None):
+                 caps: Optional[List[dict]] = None, omega_cap: int = 256):
         self.chol = chol
         self.plan = chol.plan
         self.B = chol.B
+        # static capacity of the per-step omega delta batch: the dirty
+        # kernel compiles exactly once; larger batches overflow to the full
+        # redescent (amortized — they only arise from long quiet stretches)
+        self.omega_cap = omega_cap
         self._build_host_maps()
         self._set_caps(caps)
         self._build_layout()
@@ -432,6 +436,10 @@ class IncrementalCholesky:
         dirty_pos/dirty_vals: per pending edge, level-0 pair positions and
         the corresponding delta blocks (device).  stores['H0'] must already
         include the deltas (FastLSolver applies them when scattering)."""
+        all_pos = np.concatenate(dirty_pos)
+        if len(all_pos) > self.omega_cap:
+            self.n_overflows += 1
+            return False
         bundles, D_bot = self._host_walk(dirty_pos)
         if bundles is None:
             self.n_overflows += 1
@@ -439,12 +447,19 @@ class IncrementalCholesky:
         flat, cnts = self._bundles_to_device(bundles, D_bot)
 
         # segment map: each omega contribution -> its position in the padded
-        # level-0 dirty list (duplicates sum)
-        all_pos = np.concatenate(dirty_pos)
+        # level-0 dirty list (duplicates sum); pad to the STATIC omega_cap
+        # with the dropped dummy segment so the kernel never recompiles
         D0 = bundles[0]["D"] if self.plan.levels else D_bot
-        seg = np.searchsorted(D0, all_pos)
+        cap0 = self.caps[0]["d"] if self.plan.levels else self.cap_bot
+        seg = np.full(self.omega_cap, cap0, dtype=np.int64)
+        seg[:len(all_pos)] = np.searchsorted(D0, all_pos)
         omega_vals = (jnp.concatenate(dirty_vals)
                       if len(dirty_vals) > 1 else dirty_vals[0])
+        npad = self.omega_cap - omega_vals.shape[0]
+        if npad:
+            omega_vals = jnp.concatenate(
+                [omega_vals,
+                 jnp.zeros((npad, self.B * self.B), dtype=omega_vals.dtype)])
         # install the omega-updated level-0 alias before the kernel runs
         inner = {k: stores[k] for k in
                  ("H_levels", "c_invs", "Ws", "prods", "dense", "L", "s")}

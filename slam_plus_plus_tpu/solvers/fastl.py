@@ -58,7 +58,8 @@ class FastLSolver:
                  max_iterations: int = 10, dx_threshold: float = 20.0,
                  config: Optional[SolverConfig] = None,
                  refresh: str = "dirty",
-                 full_refresh_interval: int = 0):
+                 full_refresh_interval: int = 0,
+                 bottom: int = 32):
         self.system = system
         self.config = config or SolverConfig()
         self.every_n = every_n
@@ -73,10 +74,12 @@ class FastLSolver:
                 "FastL engine covers the primary (pose) class; landmark "
                 "problems use the incremental Schur path")
 
-        # factorization plan over the full replay pattern; small dense
-        # bottom regardless of backend (per-step cost ~ bottom^3)
+        # factorization plan over the full replay pattern; SMALL dense
+        # bottom — the dirty step refactors the bottom Cholesky every step,
+        # so its size sets the per-step floor (bottom^3/3 flops); elimination
+        # levels above it only pay O(affected)
         self.chol = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np,
-                                        asm.Bp, bottom=min(asm.Np, 384))
+                                        asm.Bp, bottom=min(asm.Np, bottom))
         self._inv_input_perm = np.empty(len(asm.pp_rows), dtype=np.int64)
         self._inv_input_perm[self.chol.plan.input_perm] = np.arange(
             len(asm.pp_rows))
@@ -90,24 +93,10 @@ class FastLSolver:
             self.inc = IncrementalCholesky(self.chol)
         else:
             self.inc = None
+            # unscaled stores: omega kernel still wants an outer array
+            self._ones_outer = jnp.ones((len(asm.pp_rows), asm.Bp * asm.Bp),
+                                        dtype=asm.dtype)
         self.stats: Dict[str, float] = {}
-
-        def apply_scatter(H0, eta0, pos, vals, eta_slots, eta_vals):
-            return (H0.at[pos].add(vals),
-                    eta0.at[eta_slots].add(eta_vals))
-
-        self._apply_scatter = jax.jit(apply_scatter, donate_argnums=(0, 1))
-
-        def apply_scatter_scaled(H0, eta0, outer0, pos, vals, eta_slots,
-                                 eta_vals):
-            # incremental stores live in the Jacobi-scaled space; omega
-            # deltas scale by the pair's frozen row/col scaling on entry
-            # (eta0 stays raw — the solve scales it)
-            return (H0.at[pos].add(vals * outer0[pos]),
-                    eta0.at[eta_slots].add(eta_vals))
-
-        self._apply_scatter_scaled = jax.jit(apply_scatter_scaled,
-                                             donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
 
@@ -152,16 +141,22 @@ class FastLSolver:
         # diag H0 position per class slot (for activation pivot removal)
         self._diag_pos = self._inv_input_perm[asm.pp_diag_ids]
 
+    # edges of one type processed per omega dispatch; pending batches larger
+    # than this are chunked (still the SAME compiled program)
+    OMEGA_EDGE_CAP = 16
+
     def _build_omega_kernels(self) -> None:
-        """One jitted kernel per edge type: compute the edge's Hessian/eta
-        contribution DELTAS at the CURRENT states.
+        """One jitted kernel per edge type: compute a PADDED BATCH of edges'
+        Hessian/eta contribution deltas at the CURRENT states and scatter
+        them into (H0, eta0) in one fused dispatch.
 
         This is Calculate_Omega (reference NonlinearSolver_FastL.h:698-743)
         as a batched device op; also handles new-vertex activation (removes
-        the inactive unit pivot).  Returns
-        (H0 pair positions [C], block deltas [C, Bp*Bp],
-         eta slots [arity], eta deltas [arity, Bp]) — the caller scatters
-        them (refresh='full') or feeds them to the dirty engine."""
+        the inactive unit pivot).  The batch is padded to OMEGA_EDGE_CAP so
+        the program compiles exactly ONCE per edge type; invalid lanes have
+        their values masked to zero (their scatter adds nothing).  Returns
+        the updated (H0, eta0) plus the scaled delta blocks [C*cap, Bp*Bp]
+        in contribution-major order for the dirty engine."""
         asm = self.asm
         Bp = asm.Bp
         self._omega_fns = {}
@@ -176,37 +171,47 @@ class FastLSolver:
                             in enumerate(plan.pp_contribs) if a == b}
             diag_cols = np.array([i * Bp + i for i in range(Bp)])
 
-            def omega(states, edge_data, eidx, new_mask,
+            def omega(states, edge_data, H0, eta0, outer0, eidx, new_mask,
+                      valid,
                       plan=plan, et=et, kernel=kernel, pos_meta=pos_meta,
                       swap_meta=swap_meta, swap_perm=swap_perm,
                       diag_contrib=diag_contrib, diag_cols=diag_cols):
+                # eidx [cap] int; new_mask [cap, arity]; valid [cap] float
                 data = edge_data[plan.name]
                 gathered = tuple(
-                    states[t][data["slot_local"][k][eidx]][None]
+                    states[t][data["slot_local"][k][eidx]]
                     for k, t in enumerate(et.vertex_types))
-                z = data["z"][eidx][None]
-                info = data["info"][eidx][None]
+                z = data["z"][eidx]
+                info = data["info"][eidx]
                 chi2_e, _hd, gs, Hpp, _Hll, _Hpl = kernel(gathered, z, info)
 
                 pos, vals = [], []
                 for ci, (a, b, _s, _w) in enumerate(plan.pp_contribs):
-                    Hblk = Hpp[ci][0]
+                    Hblk = Hpp[ci]                        # [cap, Bp*Bp]
                     if a in diag_contrib and diag_contrib[a] == ci:
                         # activation: remove the slot's inactive unit pivot
                         cs = data["slot_cslot"][a][eidx]
-                        Hblk = Hblk.at[diag_cols].add(
-                            -new_mask[a] * asm.p_mask_dev[cs])
+                        Hblk = Hblk.at[:, diag_cols].add(
+                            -new_mask[:, a:a + 1] * asm.p_mask_dev[cs])
                     swap = jnp.asarray(swap_meta[ci])[eidx]
-                    Hblk = jnp.where(swap, Hblk[swap_perm], Hblk)
+                    Hblk = jnp.where(swap[:, None], Hblk[:, swap_perm], Hblk)
                     pos.append(jnp.asarray(pos_meta[ci])[eidx])
                     vals.append(Hblk)
-                eta_slots = jnp.stack([data["slot_cslot"][k][eidx]
-                                       for k in range(et.arity)])
-                eta_vals = jnp.stack([gs[k][0] for k in range(et.arity)])
-                return (jnp.stack(pos), jnp.stack(vals),
-                        eta_slots, eta_vals)
+                posf = jnp.stack(pos).reshape(-1)         # [C*cap] C-major
+                valsf = jnp.stack(vals) * valid[None, :, None]
+                valsf = valsf.reshape(posf.shape[0], Bp * Bp)
+                scaled = valsf * outer0[posf]
+                H0 = H0.at[posf].add(scaled)
+                eta_slots = jnp.stack(
+                    [data["slot_cslot"][k][eidx]
+                     for k in range(et.arity)]).reshape(-1)
+                eta_vals = (jnp.stack([gs[k] for k in range(et.arity)]) *
+                            valid[None, :, None]).reshape(-1, Bp)
+                eta0 = eta0.at[eta_slots].add(eta_vals)
+                return H0, eta0, scaled
 
-            self._omega_fns[plan.name] = jax.jit(omega)
+            self._omega_fns[plan.name] = jax.jit(omega,
+                                                 donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
 
@@ -248,26 +253,41 @@ class FastLSolver:
         return stores, eta0
 
     def _apply_pending(self, stores, eta0, states, pending):
-        """Compute + apply omega deltas for the pending edges; returns
+        """Compute + apply omega deltas for the pending edges in per-type
+        padded batches (one dispatch per OMEGA_EDGE_CAP chunk); returns
         (eta0, level-0 dirty positions (host), delta values (device list))."""
         asm = self.asm
-        pos_l, val_l = [], []
+        cap = self.OMEGA_EDGE_CAP
+        outer0 = (stores["outer0"] if self.inc is not None
+                  else self._ones_outer)
+        by_type: Dict[str, list] = {}
         for (en, el, nm) in pending:
-            pos, vals, eta_slots, eta_vals = self._omega_fns[en](
-                states, asm.edge_data, el, jnp.asarray(nm, dtype=asm.dtype))
-            if self.inc is not None:
-                outer0 = stores["outer0"]
-                stores["H0"], eta0 = self._apply_scatter_scaled(
-                    stores["H0"], eta0, outer0, pos, vals, eta_slots,
-                    eta_vals)
-                vals = vals * outer0[pos]  # dirty-engine deltas, scaled
-            else:
-                stores["H0"], eta0 = self._apply_scatter(
-                    stores["H0"], eta0, pos, vals, eta_slots, eta_vals)
+            by_type.setdefault(en, []).append((el, nm))
+        pos_l, val_l = [], []
+        for en, items in by_type.items():
+            els = np.array([el for el, _ in items], dtype=np.int64)
+            nms = np.array([nm for _, nm in items], dtype=np.float64)
             pos_meta, _sw = self._omega_meta[en]
-            pos_l.append(np.array([int(p[el]) for p in pos_meta],
-                                  dtype=np.int64))
-            val_l.append(vals)
+            for lo in range(0, len(els), cap):
+                chunk = els[lo:lo + cap]
+                nmc = nms[lo:lo + cap]
+                npad = cap - len(chunk)
+                valid = np.ones(cap)
+                if npad:
+                    # pad with a VALID edge of this chunk: its positions are
+                    # already dirty, so the padding adds nothing to the walk
+                    chunk = np.concatenate(
+                        [chunk, np.full(npad, chunk[0], dtype=np.int64)])
+                    nmc = np.concatenate([nmc, np.zeros((npad,) + nms.shape[1:])])
+                    valid[len(els) - lo:] = 0.0
+                stores["H0"], eta0, scaled = self._omega_fns[en](
+                    states, asm.edge_data, stores["H0"], eta0, outer0,
+                    jnp.asarray(chunk),
+                    jnp.asarray(nmc, dtype=asm.dtype),
+                    jnp.asarray(valid, dtype=asm.dtype))
+                # host positions in the kernel's C-major order
+                pos_l.append(np.stack([p[chunk] for p in pos_meta]).reshape(-1))
+                val_l.append(scaled)
         return eta0, pos_l, val_l
 
     def _refactor(self, stores):
@@ -327,13 +347,23 @@ class FastLSolver:
                 continue
             last_nap = step["n_active"]
 
-            # --- omega update of the maintained factorization ------------
             if stores is None:
                 stores, eta0 = self._init_stores(states, dict(counts),
                                                  step["n_active"])
                 pending.clear()
                 n_full += 1
-            elif pending:
+
+            # --- optimize when loop closures are outstanding --------------
+            if not outstanding:
+                continue
+            outstanding = False
+
+            # --- omega update of the maintained factorization (LAZY: the
+            # factor between solves is never read, and omega deltas are
+            # additive, so materializing all pending edges here in one
+            # batched dispatch gives bit-identical results to per-step
+            # application at a fraction of the dispatches) -----------------
+            if pending:
                 eta0, dirty_pos, dirty_vals = self._apply_pending(
                     stores, eta0, states, pending)
                 omega_since_full += len(pending)
@@ -350,11 +380,6 @@ class FastLSolver:
                         stores = self._refactor(stores)
                         n_full += 1
                 n_steps_applied += 1
-
-            # --- optimize when loop closures are outstanding --------------
-            if not outstanding:
-                continue
-            outstanding = False
             for it in range(self.max_iterations):
                 total_iters += 1
                 dx = self._solve(stores, eta0)
