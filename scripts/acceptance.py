@@ -97,6 +97,12 @@ def gen(name):
                                             world=110.0, obs_radius=8.0,
                                             seed=104)
         D.write_g2o_landmark_2d(path, pe, le)
+    elif name == "vp_scale":
+        # victoria-park class: few landmarks, each observed many times
+        gp, gl, pe, le = D.make_landmark_2d(n_poses=3400, n_landmarks=150,
+                                            world=40.0, obs_radius=10.0,
+                                            seed=7)
+        D.write_g2o_landmark_2d(path, pe, le)
     elif name == "intel_scale":
         poses, edges = D.make_manhattan_2d(n_poses=800, seed=105,
                                            loop_prob=0.4)
@@ -131,6 +137,12 @@ ROWS = [
     ("intel-scale incr fastL -nsp 1", "intel_scale",
      ["-po", "-nsp", "1", "-fL"],
      lambda p: ours_incremental(p, "fastl"), True),
+    ("vp-scale incr fastL -nsp 1 (landmarks)", "vp_scale",
+     ["-nsp", "1", "-fL"],
+     lambda p: ours_incremental(p, "fastl"), False),
+    ("trees10k incr fastL -nsp 1 (landmarks)", "trees10k",
+     ["-nsp", "1", "-fL"],
+     lambda p: ours_incremental(p, "fastl"), False),
 ]
 
 
@@ -139,9 +151,34 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="only the fast rows")
     ap.add_argument("--rows", default=None, help="substring filter")
+    ap.add_argument("--no-ref", action="store_true",
+                    help="skip the reference binary (record ours only; "
+                         "used by tests/test_acceptance_replay.py against "
+                         "previously recorded goldens)")
     ap.add_argument("--out", default=os.path.join(ROOT, "docs",
                                                   "ACCEPTANCE.md"))
     args = ap.parse_args()
+
+    def flush_out(results):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write("# Acceptance — golden regression vs the reference "
+                    "binary\n\n"
+                    "Synthetic datasets at the reference regression suite's "
+                    "scales (unit_tests.sh analogue; the md5-pinned "
+                    "originals are not fetchable here).  Goldens produced "
+                    "by the reference build on the identical files; bound "
+                    "1.05x final chi2.\n\n")
+            f.write("| row | ref chi2 | ref iters | ours chi2 | ours iters "
+                    "| ours time | ratio | verdict |\n|---|---|---|---|---|"
+                    "---|---|---|\n")
+            for r in results:
+                f.write(f"| {r['row']} | {r['ref_chi2']:.2f} | "
+                        f"{r['ref_iters']} | {r['chi2']:.2f} | {r['iters']} "
+                        f"| {r['seconds']}s | {r['ratio']} | "
+                        f"{'PASS' if r['passed'] else 'FAIL'} |\n")
+        with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
+            json.dump(results, f, indent=1)
 
     results = []
     for (name, ds, flags, runner, quick) in ROWS:
@@ -151,13 +188,19 @@ def main():
             continue
         path = gen(ds)
         print(f"== {name}", flush=True)
-        ref_chi2, ref_iters = run_reference(path, flags)
-        print(f"   reference: chi2={ref_chi2:.2f} iters={ref_iters}",
-              flush=True)
+        if args.no_ref:
+            ref_chi2, ref_iters = float("nan"), -1
+        else:
+            ref_chi2, ref_iters = run_reference(path, flags)
+            print(f"   reference: chi2={ref_chi2:.2f} iters={ref_iters}",
+                  flush=True)
         chi2, iters, secs = runner(path)
-        ratio = chi2 / ref_chi2 if ref_chi2 > 0 else \
-            (1.0 if chi2 <= 0.01 else float("inf"))
-        ok = ratio <= 1.05
+        if args.no_ref:
+            ratio, ok = float("nan"), True
+        else:
+            ratio = chi2 / ref_chi2 if ref_chi2 > 0 else \
+                (1.0 if chi2 <= 0.01 else float("inf"))
+            ok = ratio <= 1.05
         print(f"   ours:      chi2={chi2:.2f} iters={iters} "
               f"({secs:.1f}s)  ratio={ratio:.4f}  "
               f"{'PASS' if ok else 'FAIL'}", flush=True)
@@ -165,23 +208,7 @@ def main():
                             ref_iters=ref_iters, chi2=chi2, iters=iters,
                             seconds=round(secs, 1), ratio=round(ratio, 4),
                             passed=bool(ok)))
-
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("# Acceptance — golden regression vs the reference binary\n\n"
-                "Synthetic datasets at the reference regression suite's "
-                "scales (unit_tests.sh analogue; the md5-pinned originals "
-                "are not fetchable here).  Goldens produced by the "
-                "reference build on the identical files; bound 1.05x "
-                "final chi2.\n\n")
-        f.write("| row | ref chi2 | ref iters | ours chi2 | ours iters | "
-                "ours time | ratio | verdict |\n|---|---|---|---|---|---|"
-                "---|---|\n")
-        for r in results:
-            f.write(f"| {r['row']} | {r['ref_chi2']:.2f} | "
-                    f"{r['ref_iters']} | {r['chi2']:.2f} | {r['iters']} | "
-                    f"{r['seconds']}s | {r['ratio']} | "
-                    f"{'PASS' if r['passed'] else 'FAIL'} |\n")
+        flush_out(results)
     print(json.dumps({"passed": sum(r["passed"] for r in results),
                       "total": len(results)}))
     if not all(r["passed"] for r in results):

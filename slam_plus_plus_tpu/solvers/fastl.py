@@ -67,12 +67,17 @@ class FastLSolver:
         self.dx_threshold = dx_threshold
         self.refresh = refresh
         self.full_refresh_interval = full_refresh_interval
+        # landmark problems: run the MIS-Schur engine over the MIXED class
+        # (landmarks padded to Bp) — landmarks are low-degree independent-set
+        # candidates the elimination picks up in its first levels, which is
+        # exactly the reference FastL's uniform treatment of landmark blocks
+        # in R (its fastL regression rows include cityTrees10k/victoria-park,
+        # reference scripts/tests/unit_tests.sh:216-222,248-254)
+        import dataclasses as _dc
+        self.config = _dc.replace(self.config, schur_split="off")
         self.asm = Assembler(system, self.config)
         asm = self.asm
-        if asm.Nl:
-            raise NotImplementedError(
-                "FastL engine covers the primary (pose) class; landmark "
-                "problems use the incremental Schur path")
+        assert asm.Nl == 0, "mixed-class assembler still split a class"
 
         # factorization plan over the full replay pattern; SMALL dense
         # bottom — the dirty step refactors the bottom Cholesky every step,

@@ -6,6 +6,7 @@ deterministic synthetic datasets regenerated here from fixed seeds:
 
   manhattan 300 seed 91:             chi2 46.20,  8 iterations, 0 pushes
   manhattan 1500 seed 92 lp 0.35:    chi2 616.94, 206 iterations
+  landmark 500/120 seed 11 (-fL):    chi2 294483.86, 860 iterations
 
 (verified 2026-08-19; reference prints integer-rounded chi2 at 2 decimals,
 matching the unit_tests.sh comparison style, scripts/tests/unit_tests.sh:325)
@@ -43,3 +44,18 @@ def test_fastl_golden_with_pushes(tmp_path, refresh):
     assert iters == 206
     assert chi2 == pytest.approx(616.94, abs=0.01)
     assert inc.stats["pushes"] == 11
+
+
+@pytest.mark.parametrize("refresh", ["full", "dirty"])
+def test_fastl_golden_landmarks(tmp_path, refresh):
+    """Landmark problems route through the mixed-class MIS engine
+    (landmarks padded to Bp, eliminated by the independent-set levels);
+    golden matches the reference fastL run on the identical file."""
+    gp, gl, pe, le = D.make_landmark_2d(n_poses=500, n_landmarks=120,
+                                        world=28.0, obs_radius=6.0, seed=11)
+    p = str(tmp_path / "lm.txt")
+    D.write_g2o_landmark_2d(p, pe, le)
+    inc = FastLSolver(parse_g2o(p), every_n=1, refresh=refresh)
+    chi2, iters = inc.run()
+    assert iters == 860
+    assert chi2 == pytest.approx(294483.86, abs=0.5)
