@@ -33,14 +33,33 @@ def parse_with_markers(path: str):
 
 def run_incremental_ba(path: str, max_iterations: int = 5,
                        dx_threshold: float = 0.01, marginals: bool = False,
-                       verbose: bool = False):
+                       verbose: bool = False, solver: str = "dl"):
     """Replay the dataset, solving at each marker.  Returns
-    (final_chi2, per-marker chi2 list, marginals result or None)."""
+    (final_chi2, per-marker chi2 list, marginals result or None).
+
+    solver="dl" (default, matching the reference incremental_ba_3dv demo's
+    Lambda-DL): fluid relinearization + incrementally maintained Schur
+    complement + maintained-state marginals.  solver="lambda": the
+    active-prefix GN replay."""
     from slam_plus_plus_tpu.solvers.incremental import IncrementalSolver
 
     system, markers = parse_with_markers(path)
     if not markers:
         markers = [system.num_edges]
+
+    if solver == "dl":
+        from slam_plus_plus_tpu.marginals.covariance import MarginalsResult
+        from slam_plus_plus_tpu.solvers.dogleg_incremental import (
+            IncrementalDoglegSolver)
+        s = IncrementalDoglegSolver(system, max_iterations=max_iterations,
+                                    dx_threshold=dx_threshold)
+        final_chi2, chi2_trace = s.run([m - 1 for m in markers],
+                                       verbose=verbose)
+        marg = None
+        if marginals:
+            p_diag, l_diag = s.marginals()
+            marg = MarginalsResult(p_diag, l_diag, None)
+        return final_chi2, chi2_trace, marg
 
     inc = IncrementalSolver(system, every_n=0)   # scheduling disabled
     asm = inc.asm

@@ -126,6 +126,135 @@ def essential_8pt(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
     return E
 
 
+def essential_5pt(x1: np.ndarray, x2: np.ndarray) -> List[np.ndarray]:
+    """Minimal five-point essential solver (Stewenius action-matrix /
+    Grobner-basis method).
+
+    Reference analogue: CFivePoint_EssentialSolver_Grobner
+    (reference include/geometry/TwoView.h:44-125).  x1, x2: [5+, 2]
+    normalized correspondences (x2^T E x1 = 0; extra rows join the null
+    space least-squares like the reference's overdetermined variant,
+    TwoView.h:87-106).  Returns up to 10 real essential matrices.
+
+    Method: the 4-dim null space of the epipolar design matrix gives
+    E = x X + y Y + z Z + W; det(E) = 0 and the trace constraint
+    2 E E^T E - tr(E E^T) E = 0 yield 10 cubics in (x, y, z).  Reducing
+    their 10x20 coefficient matrix to [I | A] over the 10 degree-3 leading
+    monomials leaves the quotient-ring basis {x^2, xy, xz, y^2, yz, z^2,
+    x, y, z, 1}; the eigenvectors of the multiply-by-x action matrix
+    evaluate the basis at each solution."""
+    N = len(x1)
+    A = np.zeros((N, 9))
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    A[:, 0] = u2 * u1
+    A[:, 1] = u2 * v1
+    A[:, 2] = u2
+    A[:, 3] = v2 * u1
+    A[:, 4] = v2 * v1
+    A[:, 5] = v2
+    A[:, 6] = u1
+    A[:, 7] = v1
+    A[:, 8] = 1.0
+    _, _, Vt = np.linalg.svd(A)
+    basis = Vt[-4:][::-1]                      # X, Y, Z, W rows
+    X, Y, Z, W = (b.reshape(3, 3) for b in basis)
+
+    # polynomial arithmetic over monomials (i, j, k) = x^i y^j z^k
+    def pmul(p, q):
+        out = {}
+        for ma, ca in p.items():
+            for mb, cb in q.items():
+                key = (ma[0] + mb[0], ma[1] + mb[1], ma[2] + mb[2])
+                out[key] = out.get(key, 0.0) + ca * cb
+        return out
+
+    def padd(*ps):
+        out = {}
+        for p in ps:
+            for m, c in p.items():
+                out[m] = out.get(m, 0.0) + c
+        return out
+
+    def pscale(p, s):
+        return {m: c * s for m, c in p.items()}
+
+    # E entries as degree-1 polynomials
+    Ep = [[{(1, 0, 0): X[r, c], (0, 1, 0): Y[r, c],
+            (0, 0, 1): Z[r, c], (0, 0, 0): W[r, c]}
+           for c in range(3)] for r in range(3)]
+
+    def mat_mul(Ap, Bp):
+        return [[padd(*[pmul(Ap[r][k], Bp[k][c]) for k in range(3)])
+                 for c in range(3)] for r in range(3)]
+
+    def mat_T(Ap):
+        return [[Ap[c][r] for c in range(3)] for r in range(3)]
+
+    EEt = mat_mul(Ep, mat_T(Ep))
+    trace = padd(EEt[0][0], EEt[1][1], EEt[2][2])
+    EEtE = mat_mul(EEt, Ep)
+    eqs = []
+    for r in range(3):
+        for c in range(3):
+            eqs.append(padd(pscale(EEtE[r][c], 2.0),
+                            pscale(pmul(trace, Ep[r][c]), -1.0)))
+    # det(E)
+    det = padd(
+        pmul(Ep[0][0], padd(pmul(Ep[1][1], Ep[2][2]),
+                            pscale(pmul(Ep[1][2], Ep[2][1]), -1.0))),
+        pscale(pmul(Ep[0][1], padd(pmul(Ep[1][0], Ep[2][2]),
+                                   pscale(pmul(Ep[1][2], Ep[2][0]), -1.0))),
+               -1.0),
+        pmul(Ep[0][2], padd(pmul(Ep[1][0], Ep[2][1]),
+                            pscale(pmul(Ep[1][1], Ep[2][0]), -1.0))))
+    eqs.append(det)
+
+    # 10x20 coefficient matrix: leading = degree-3 monomials, trailing =
+    # the quotient basis (degree <= 2)
+    lead = [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1),
+            (1, 0, 2), (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)]
+    quot = [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+            (0, 0, 2), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+    cols = lead + quot
+    cidx = {m: i for i, m in enumerate(cols)}
+    M = np.zeros((10, 20))
+    for i, eq in enumerate(eqs):
+        for m, c in eq.items():
+            M[i, cidx[m]] = c
+    try:
+        Ared = np.linalg.solve(M[:, :10], M[:, 10:])   # [I | Ared]
+    except np.linalg.LinAlgError:
+        return []
+
+    # action matrix of multiplication by x on the quotient basis
+    T = np.zeros((10, 10))
+    qidx = {m: i for i, m in enumerate(quot)}
+    for j, m in enumerate(quot):
+        xm = (m[0] + 1, m[1], m[2])
+        if xm in qidx:
+            T[qidx[xm], j] = 1.0
+        else:
+            li = lead.index(xm)
+            T[:, j] = -Ared[li]
+    # x * b_j = sum_m T[m, j] b_m  =>  the basis-evaluation vector b is an
+    # eigenvector of T^T with eigenvalue x
+    w, V = np.linalg.eig(T.T)
+    out = []
+    for i in range(10):
+        if abs(w[i].imag) > 1e-6 * (1 + abs(w[i].real)):
+            continue
+        v = V[:, i].real
+        if abs(v[9]) < 1e-12:
+            continue
+        x, y, z = v[6] / v[9], v[7] / v[9], v[8] / v[9]
+        E = x * X + y * Y + z * Z + W
+        n = np.linalg.norm(E)
+        if np.isfinite(n) and n > 1e-12:
+            out.append(E / n)
+    return out
+
+
 def decompose_essential(E: np.ndarray, x1: np.ndarray, x2: np.ndarray):
     """(R, t) with cheirality disambiguation from correspondences."""
     U, _, Vt = np.linalg.svd(E)

@@ -273,6 +273,11 @@ def make_landmark_2d(n_poses=300, n_landmarks=120, world=25.0, obs_radius=6.0,
                                               seed=seed)
     scale = world / max(np.abs(poses[:, :2]).max(), 1.0)
     poses[:, :2] *= scale
+    # odometry measurements must live in the SAME scaled frame as the poses
+    # and landmark observations — an unscaled z makes the dataset
+    # self-contradictory (huge residuals, chaotic optimization)
+    raw_pose_edges = [(i, j, np.array([z[0] * scale, z[1] * scale, z[2]]),
+                       info) for (i, j, z, info) in raw_pose_edges]
     landmarks = rng.uniform(-world, world, (n_landmarks, 2))
 
     # chronological observation sweep assigning dense ids on first use

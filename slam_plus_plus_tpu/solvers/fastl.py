@@ -389,7 +389,13 @@ class FastLSolver:
                 total_iters += 1
                 dx = self._solve(stores, eta0)
                 norm = float(jnp.linalg.norm(dx))
-                if not np.isfinite(norm) or norm <= self.dx_threshold:
+                # numerical-failure guard: a near-singular lambda can yield
+                # an astronomically large FINITE step; pushing it destroys
+                # the state irrecoverably.  Reject like a failed Cholesky
+                # (reference aborts the iteration on linear-solver failure,
+                # NonlinearSolver_Lambda.h:666-668).
+                if not np.isfinite(norm) or norm > 1e5 or \
+                        norm <= self.dx_threshold:
                     lin_dirty = True
                     break  # discard dx, keep frozen linearization
                 # push: linearization moves -> full relinearize + refactor

@@ -6,7 +6,7 @@ deterministic synthetic datasets regenerated here from fixed seeds:
 
   manhattan 300 seed 91:             chi2 46.20,  8 iterations, 0 pushes
   manhattan 1500 seed 92 lp 0.35:    chi2 616.94, 206 iterations
-  landmark 500/120 seed 11 (-fL):    chi2 294483.86, 860 iterations
+  landmark 500/120 seed 11 (-fL):    chi2 17.38, 499 iterations, 1 push
 
 (verified 2026-08-19; reference prints integer-rounded chi2 at 2 decimals,
 matching the unit_tests.sh comparison style, scripts/tests/unit_tests.sh:325)
@@ -57,5 +57,6 @@ def test_fastl_golden_landmarks(tmp_path, refresh):
     D.write_g2o_landmark_2d(p, pe, le)
     inc = FastLSolver(parse_g2o(p), every_n=1, refresh=refresh)
     chi2, iters = inc.run()
-    assert iters == 860
-    assert chi2 == pytest.approx(294483.86, abs=0.5)
+    assert iters == 499
+    assert chi2 == pytest.approx(17.38, abs=0.01)
+    assert inc.stats["pushes"] == 1

@@ -89,3 +89,40 @@ def test_distortion_roundtrip():
     d = distortion.distort(uv, intr)
     u = distortion.undistort(d, intr, iters=20)
     assert np.abs(u - uv).max() < 1e-6
+
+
+def test_five_point_essential():
+    """Minimal 5-point solver: the true E must be among the (up to 10)
+    solutions for random geometry (reference CFivePoint_EssentialSolver_
+    Grobner, include/geometry/TwoView.h:44-125)."""
+    from slam_plus_plus_tpu.geometry.minimal import (decompose_essential,
+                                                     essential_5pt)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        aa = rng.normal(0, 0.3, 3)
+        th = np.linalg.norm(aa)
+        k = aa / (th + 1e-12)
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+        t = rng.normal(0, 1, 3)
+        t /= np.linalg.norm(t)
+        X = rng.uniform(-1, 1, (5, 3))
+        X[:, 2] = rng.uniform(2, 6, 5)
+        x1 = X[:, :2] / X[:, 2:3]
+        X2 = X @ R.T + t
+        x2 = X2[:, :2] / X2[:, 2:3]
+        Es = essential_5pt(x1, x2)
+        assert Es, "no real solutions"
+        Tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                       [-t[1], t[0], 0]])
+        E_true = Tx @ R
+        E_true /= np.linalg.norm(E_true)
+        best = min(min(np.abs(E - E_true).max(), np.abs(E + E_true).max())
+                   for E in Es)
+        assert best < 1e-6, best
+        # decomposition recovers (R, t) up to scale from the best E
+        Eb = min(Es, key=lambda E: min(np.abs(E - E_true).max(),
+                                       np.abs(E + E_true).max()))
+        Rd, td = decompose_essential(Eb, x1, x2)
+        assert np.abs(Rd - R).max() < 1e-6
+        assert np.abs(td / np.linalg.norm(td) - t).max() < 1e-6

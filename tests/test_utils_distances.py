@@ -105,3 +105,14 @@ def test_relative_pose_distribution():
     assert abs(m4[3] - np.linalg.norm(mean[3:])) < 1e-12
     m4v, s4v = view_direction_transform(mean, sigma)
     assert m4v.shape == (4,) and np.isfinite(s4v).all()
+
+
+def test_memusage_report():
+    """CProcessMemInfo analogue (reference include/slam/MemUsage.h:54)."""
+    from slam_plus_plus_tpu.utils.memusage import (device_memory,
+                                                   format_report,
+                                                   process_memory)
+    pm = process_memory()
+    assert pm["rss"] > 0 and pm["peak_rss"] >= pm["rss"] // 2
+    assert isinstance(device_memory(), dict)
+    assert "host rss" in format_report()
