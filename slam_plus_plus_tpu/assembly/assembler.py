@@ -168,7 +168,62 @@ class Assembler:
                 slot_local.append(locs)
                 slot_cslot.append(self.type_cslot[tname][locs])
                 slot_class.append(self.type_class[tname])
-            raw_plans.append((ename, et, E, slot_local, slot_cslot, tuple(slot_class)))
+            raw_plans.append([ename, et, E, slot_local, slot_cslot, tuple(slot_class)])
+
+        # ---- uniform per-landmark edge layout (TPU fast path) ----------
+        #
+        # Sort + pad each landmark-observing plan's edges into [Nl, M] groups
+        # (dummy edges carry zero information) so that every landmark-side
+        # reduction and the Schur panel build become pure reshapes.  Measured
+        # on v5e: any gather/scatter of O(E) rows costs ~11 ns/row even for
+        # the identity permutation, while reshapes are free and one-hot GEMM
+        # reductions run at MXU speed.  This is the TPU analogue of the
+        # reference's cache-blocked matrix reduction plans
+        # (CMatrixReductionPlan, include/slam/NonlinearSolver_Lambda_Base.h).
+        self.pl_uniform = None
+        self._pad_maps: Dict[str, np.ndarray] = {}
+        lay = getattr(self.config, "edge_layout", "auto")
+        l_plan_ids = [i for i, rp in enumerate(raw_plans)
+                      if any(c == "l" for c in rp[5])]
+        ok_shape = all(sum(1 for c in raw_plans[i][5] if c == "l") == 1
+                       for i in l_plan_ids)
+        if lay in ("auto", "uniform") and l_plan_ids and ok_shape and self.Nl:
+            total_old = sum(rp[2] for rp in raw_plans)
+            Ms = {}
+            for i in l_plan_ids:
+                lslot = raw_plans[i][5].index("l")
+                counts = np.bincount(raw_plans[i][4][lslot],
+                                     minlength=self.Nl)
+                Ms[i] = int(counts.max())
+            total_new = (sum(rp[2] for i, rp in enumerate(raw_plans)
+                             if i not in l_plan_ids) +
+                         sum(self.Nl * Ms[i] for i in l_plan_ids))
+            if lay == "uniform" or total_new <= 1.5 * total_old + 8192:
+                self.pl_uniform = []
+                for i in l_plan_ids:
+                    ename, et, E, slot_local, slot_cslot, slot_class = \
+                        raw_plans[i]
+                    lslot = slot_class.index("l")
+                    M = max(Ms[i], 1)
+                    lc = slot_cslot[lslot]
+                    counts = np.bincount(lc, minlength=self.Nl)
+                    starts = np.concatenate([[0], np.cumsum(counts)])
+                    order = np.argsort(lc, kind="stable")
+                    ranks = np.arange(E) - starts[lc[order]]
+                    pad_idx = np.full(self.Nl * M, E, dtype=np.int64)
+                    pad_idx[lc[order] * M + ranks] = order
+                    self._pad_maps[ename] = pad_idx
+                    raw_plans[i][2] = self.Nl * M
+                    raw_plans[i][3] = [
+                        np.concatenate([a, a[:1]])[pad_idx]
+                        for a in slot_local]
+                    raw_plans[i][4] = [
+                        np.concatenate([a, a[:1]])[pad_idx]
+                        for a in slot_cslot]
+                    # positional landmark ids override the dummies' cslots so
+                    # the [Nl, M] reshape semantics hold for every slot
+                    raw_plans[i][4][lslot] = np.repeat(
+                        np.arange(self.Nl, dtype=np.int64), M)
 
         # global key collection (order defines contribution concatenation)
         pp_contrib_keys: List[np.ndarray] = []
@@ -209,12 +264,31 @@ class Assembler:
         self.pp_cols = (uniq_pp % self.Np).astype(np.int64)
         self.Kpp = len(uniq_pp)
 
-        all_pl = (np.concatenate(pl_contrib_keys) if pl_contrib_keys
-                  else np.zeros(0, dtype=np.int64))
-        uniq_pl, inv_pl = np.unique(all_pl, return_inverse=True)
-        self.pl_rows = (uniq_pl // max(self.Nl, 1)).astype(np.int64)
-        self.pl_cols = (uniq_pl % max(self.Nl, 1)).astype(np.int64)
-        self.Kpl = len(uniq_pl)
+        if self.pl_uniform is not None:
+            # uniform layout: padded slots ARE the pl blocks, in contribution
+            # order — no dedup, identity "reduction", zero blocks for dummies
+            rows_l, cols_l, off = [], [], 0
+            for keys in pl_contrib_keys:
+                n = len(keys)
+                rows_l.append((keys // max(self.Nl, 1)).astype(np.int64))
+                cols_l.append((keys % max(self.Nl, 1)).astype(np.int64))
+                M = n // self.Nl
+                self.pl_uniform.append(
+                    dict(offset=off, M=M, rows=rows_l[-1]))
+                off += n
+            self.pl_rows = (np.concatenate(rows_l) if rows_l
+                            else np.zeros(0, dtype=np.int64))
+            self.pl_cols = (np.concatenate(cols_l) if cols_l
+                            else np.zeros(0, dtype=np.int64))
+            self.Kpl = off
+            inv_pl = np.arange(max(off, 1), dtype=np.int64)
+        else:
+            all_pl = (np.concatenate(pl_contrib_keys) if pl_contrib_keys
+                      else np.zeros(0, dtype=np.int64))
+            uniq_pl, inv_pl = np.unique(all_pl, return_inverse=True)
+            self.pl_rows = (uniq_pl // max(self.Nl, 1)).astype(np.int64)
+            self.pl_cols = (uniq_pl % max(self.Nl, 1)).astype(np.int64)
+            self.Kpl = len(uniq_pl)
 
         # diagonal (p,p) pair ids — every primary vertex has a diagonal block
         # (edge contributions or the pad/anchor fix ensure presence); map via
@@ -277,9 +351,18 @@ class Assembler:
         self.edge_data = {}
         for plan in self.plans:
             store = system.edge_stores[plan.name]
+            z_np = np.asarray(store.measurements[:store.n], dtype=np.float64)
+            info_np = np.asarray(store.informations[:store.n],
+                                 dtype=np.float64)
+            pad_idx = self._pad_maps.get(plan.name)
+            if pad_idx is not None:
+                # dummy edges: zero information (contribute exactly nothing)
+                z_np = np.concatenate([z_np, np.zeros_like(z_np[:1])])[pad_idx]
+                info_np = np.concatenate(
+                    [info_np, np.zeros_like(info_np[:1])])[pad_idx]
             self.edge_data[plan.name] = dict(
-                z=jnp.asarray(store.measurements[:plan.E], dtype=dt),
-                info=jnp.asarray(store.informations[:plan.E], dtype=dt),
+                z=jnp.asarray(z_np, dtype=dt),
+                info=jnp.asarray(info_np, dtype=dt),
                 slot_local=tuple(jnp.asarray(x) for x in plan.slot_local),
                 slot_cslot=tuple(jnp.asarray(x) for x in plan.slot_cslot),
                 pp_seg=tuple(jnp.asarray(s) for (a, b, s, w) in plan.pp_contribs),
@@ -327,7 +410,11 @@ class Assembler:
         if not seg_arrays or K == 0:
             return False
         seg_all = np.concatenate([np.asarray(s) for s in seg_arrays])
-        if len(seg_all) != K or len(np.unique(seg_all)) != K:
+        if len(seg_all) != K:
+            return False
+        if np.array_equal(seg_all, np.arange(K)):
+            return "identity"   # concatenation IS the reduction — no gather
+        if len(np.unique(seg_all)) != K:
             return False
         order = np.empty(K, dtype=np.int32)
         order[seg_all] = np.arange(K, dtype=np.int32)
@@ -449,8 +536,8 @@ class Assembler:
 
         pp_chunks, pp_segids = [], []
         pl_chunks, pl_segids = [], []
+        etap_chunks, etap_segids = [], []
         ll = jnp.zeros((Nl, Bl * Bl), dtype=dt)
-        eta_p = jnp.zeros((Np, Bp), dtype=dt)
         eta_l = jnp.zeros((Nl, Bl), dtype=dt)
         chi2 = jnp.zeros((), dtype=dt)
         max_hdiag = jnp.zeros((), dtype=dt)
@@ -473,15 +560,26 @@ class Assembler:
             chi2 = chi2 + jnp.sum(chi2_e)
             max_hdiag = jnp.maximum(max_hdiag, jnp.max(hdiag_e))
 
+            uniform_M = (self._pad_maps.get(plan.name) is not None and
+                         plan.E == Nl * (plan.E // max(Nl, 1)) and
+                         plan.E // max(Nl, 1) or None)
             li = 0
             for k in range(len(plan.slot_types)):
                 cs = data["slot_cslot"][k]
-                # segment_sum lowers to sort+segmented-reduce on TPU, much
-                # faster than the serialized scatter-add lowering
                 if plan.slot_class[k] == "p":
-                    eta_p = eta_p + jax.ops.segment_sum(
-                        gs[k], cs, num_segments=Np)
+                    etap_chunks.append(gs[k])
+                    etap_segids.append(cs)
+                elif uniform_M:
+                    # uniform [Nl, M] layout: the landmark reduction is a
+                    # pure reshape-sum — no gather, no sort (see
+                    # _build_structure's uniform-layout block)
+                    M = uniform_M
+                    eta_l = eta_l + gs[k].reshape(Nl, M, Bl).sum(axis=1)
+                    ll = ll + Hll[li].reshape(Nl, M, Bl * Bl).sum(axis=1)
+                    li += 1
                 else:
+                    # segment_sum lowers to sort+segmented-reduce on TPU,
+                    # much faster than the serialized scatter-add lowering
                     eta_l = eta_l + jax.ops.segment_sum(
                         gs[k], cs, num_segments=Nl)
                     ll = ll + jax.ops.segment_sum(
@@ -500,11 +598,33 @@ class Assembler:
                 pl_chunks.append(Hpl[ci])
                 pl_segids.append(data["pl_seg"][ci])
 
+        eta_p = self._reduce_segments(etap_chunks, etap_segids, Np, dt)
         pp = self._reduce_contribs(pp_chunks, pp_segids, self.Kpp,
                                    Bp * Bp, dt, "_pp_gather")
         pl = self._reduce_contribs(pl_chunks, pl_segids, max(self.Kpl, 1),
                                    Bp * Bl, dt, "_pl_gather")
         return pp, pl, ll, eta_p, eta_l, chi2, max_hdiag
+
+    @staticmethod
+    def _onehot_ok(total, K, itemsize=4):
+        """One-hot GEMM reduction beats segment_sum when the target count is
+        small (the [total, K] one-hot operand is a bounded MXU GEMM; measured
+        3.4-7x faster on v5e for K ~ 100) and the operand fits."""
+        return (K <= 1024 and total >= 4 * K and
+                total * K * itemsize <= (512 << 20))
+
+    def _reduce_segments(self, chunks, segids, K, dt):
+        """Sum [Ei, d] chunks into K segments: one-hot MXU GEMM when
+        profitable, else segment_sum."""
+        if not chunks:
+            return jnp.zeros((max(K, 1), self.Bp), dtype=dt)
+        vals = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        ids = (jnp.concatenate(segids) if len(segids) > 1 else segids[0])
+        if self._onehot_ok(vals.shape[0], K):
+            onehot = (ids[:, None] ==
+                      jnp.arange(K, dtype=ids.dtype)).astype(dt)
+            return onehot.T @ vals
+        return jax.ops.segment_sum(vals, ids, num_segments=K)
 
     def _pallas_edge_terms(self, plan, gathered, data):
         """Fused Pallas path for P2C: transpose/pad, run the kernel,
@@ -548,10 +668,16 @@ class Assembler:
             return jnp.zeros((max(K, 1), d), dtype=dt)
         vals = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
         gather = getattr(self, gather_attr, False)
+        if isinstance(gather, str):   # "identity": concat IS the reduction
+            return vals
         if gather is not False:
             return vals[gather]
-        return jax.ops.segment_sum(vals, jnp.concatenate(segids),
-                                   num_segments=K)
+        ids = (jnp.concatenate(segids) if len(segids) > 1 else segids[0])
+        if self._onehot_ok(vals.shape[0], K):
+            onehot = (ids[:, None] ==
+                      jnp.arange(K, dtype=ids.dtype)).astype(dt)
+            return onehot.T @ vals
+        return jax.ops.segment_sum(vals, ids, num_segments=K)
 
     def _assemble_impl(self, states, edge_data) -> BlockSystem:
         pp, pl, ll, eta_p, eta_l, chi2, max_hdiag = self._edge_sums(
@@ -598,6 +724,10 @@ class Assembler:
         return self._chi2_impl(states, self._mask_edge_data(edge_data, counts))
 
     def assemble_active(self, states, counts, n_active_p, n_active_l):
+        if self.pl_uniform is not None:
+            raise RuntimeError(
+                "active-prefix masking needs parse order; construct the "
+                "Assembler with config.edge_layout='flat'")
         if not hasattr(self, "_assemble_active_jit"):
             self._assemble_active_jit = jax.jit(self._assemble_active_impl)
         return self._assemble_active_jit(states, self.edge_data, counts,

@@ -82,6 +82,14 @@ class SolverConfig:
     schur_split: str = "auto"
     dtype: Optional[object] = None   # None = default_dtype()
     use_pallas: str = "auto"         # auto | on | off — fused TPU edge kernels
+    # "uniform": sort + pad observation edges into a per-landmark [Nl, M]
+    # layout at build time so every landmark-side reduction and the Schur
+    # panel build become pure reshapes (TPU gathers/scatters of O(E) rows
+    # cost ~11 ns/row regardless of locality — measured; the uniform layout
+    # removes them entirely).  "auto" enables it for batch landmark
+    # problems when padding inflates the edge count <= 1.5x; "flat" keeps
+    # parse order (required by the incremental prefix-masking engines).
+    edge_layout: str = "auto"        # auto | uniform | flat
     refine_iterations: int = 2       # iterative-refinement sweeps for f32 solves
     incremental: IncrementalPolicy = dataclasses.field(default_factory=IncrementalPolicy)
     marginals: MarginalsPolicy = dataclasses.field(default_factory=MarginalsPolicy)

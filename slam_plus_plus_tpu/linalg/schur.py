@@ -66,6 +66,7 @@ class SchurSolver:
         requires a bounded max-observations-per-landmark.  "auto" picks
         onehot when the bound is reasonable."""
         self.asm = asm
+        self.panel_mode = "sparse"   # overwritten on the dense branches
         if asm.Nl == 0 or asm.Kpl == 0:
             raise ValueError("Schur solver requires an eliminated class")
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
@@ -81,6 +82,28 @@ class SchurSolver:
         if self.sparse_reduced:
             self._build_sparse_reduced()
             self._solve_jit = jax.jit(self._solve_sparse_impl)
+            return
+
+        # uniform-layout fast path: the assembler emitted pl blocks in a
+        # padded per-landmark [Nl, M] slot layout (assembler.py uniform
+        # layout), so the dense panels are pure reshapes + one-hot einsums —
+        # no O(Kpl) gathers/scatters at all.  Falls back to the generic
+        # paths when the panels would not fit.
+        channels = getattr(asm, "pl_uniform", None)
+        panel_bytes = 2 * Nl * Bl * self.n_reduced * 4
+        if (panel_mode in ("auto", "uniform") and channels and
+                panel_bytes <= (3 << 29)):
+            self.panel_mode = "uniform"
+            self.max_obs = max(ch["M"] for ch in channels)
+            self._pl_rows_dev = jnp.asarray(asm.pl_rows)
+            self._pl_cols_dev = jnp.asarray(asm.pl_cols)
+            self._uniform_channels = [
+                dict(offset=ch["offset"], M=ch["M"],
+                     rows=jnp.asarray(np.asarray(ch["rows"])
+                                      .reshape(Nl, ch["M"])))
+                for ch in channels]
+            self._build_dense_pp_indices()
+            self._solve_jit = jax.jit(self._solve_uniform_impl)
             return
         self.chunk = chunk or _pick_chunk(Nl, self.n_reduced, Bl)
         self.n_chunks = (Nl + self.chunk - 1) // self.chunk
@@ -136,6 +159,13 @@ class SchurSolver:
 
         self._pl_rows_dev = jnp.asarray(asm.pl_rows)
         self._pl_cols_dev = jnp.asarray(asm.pl_cols)
+        self._build_dense_pp_indices()
+
+        self._solve_jit = jax.jit(self._solve_impl)
+
+    def _build_dense_pp_indices(self):
+        asm = self.asm
+        Bp = asm.Bp
         # dense pp scatter: flat indices for upper blocks and their mirrors
         self._pp_idx = jnp.asarray(planar.scatter_flat_indices(
             asm.pp_rows, asm.pp_cols, Bp, Bp, row_stride=self.n_reduced))
@@ -145,7 +175,64 @@ class SchurSolver:
         self._pp_off_mask = jnp.asarray(off.astype(np.float32))
         self._tperm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
 
-        self._solve_jit = jax.jit(self._solve_impl)
+    def _uniform_panels(self, system):
+        """(c_inv, Ut, Wt) from the uniform [Nl, M] pl layout — pure
+        reshapes + one-hot einsums, no O(Kpl) gathers.  Panels are
+        [Nl*Bl, nred] with rows (landmark, tangent) and columns flattened
+        camera dims; shared by the solve and the BA marginals recovery."""
+        asm = self.asm
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        nred = self.n_reduced
+        dt = system.pp_blocks.dtype
+        c_inv = planar.binv(system.ll_blocks, Bl)              # [Nl, Bl*Bl]
+        ci3 = c_inv.reshape(Nl, Bl, Bl)
+        u = system.pl_blocks
+        Ut = jnp.zeros((Nl * Bl, nred), dtype=dt)
+        Wt = jnp.zeros((Nl * Bl, nred), dtype=dt)
+        for ch in self._uniform_channels:
+            M, off = ch["M"], ch["offset"]
+            u4 = u[off:off + Nl * M].reshape(Nl, M, Bp, Bl)
+            w4 = jnp.einsum("cmik,ckl->cmil", u4, ci3)
+            oh = (ch["rows"][:, :, None] ==
+                  jnp.arange(Np, dtype=ch["rows"].dtype)[None, None, :]
+                  ).astype(dt)                                  # [Nl, M, Np]
+            U3 = jnp.einsum("cmn,cmk->cnk", oh,
+                            u4.reshape(Nl, M, Bp * Bl))
+            W3 = jnp.einsum("cmn,cmk->cnk", oh,
+                            w4.reshape(Nl, M, Bp * Bl))
+            Ut = Ut + (U3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
+                       .reshape(Nl * Bl, nred))
+            Wt = Wt + (W3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
+                       .reshape(Nl * Bl, nred))
+        return c_inv, Ut, Wt
+
+    def _solve_uniform_impl(self, system):
+        """Gather-free Schur solve over the uniform [Nl, M] pl layout.
+
+        All landmark-side structures are reshapes of the assembler's padded
+        slot arrays; the camera placement is a per-landmark one-hot einsum
+        (batched MXU contraction); SC is one large GEMM.  Dummy slots hold
+        zero blocks and vanish in every product.
+        """
+        asm = self.asm
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        nred = self.n_reduced
+        dt = system.pp_blocks.dtype
+
+        c_inv, Ut, Wt = self._uniform_panels(system)
+
+        eta_l_flat = system.eta_l.reshape(Nl * Bl)
+        rhs_flat = system.eta_p.reshape(nred) - Wt.T @ eta_l_flat
+        sc = self._dense_pp(system.pp_blocks) - Wt.T @ Ut
+
+        L = jnp.linalg.cholesky(sc)
+        y = jax.scipy.linalg.solve_triangular(L, rhs_flat, lower=True)
+        dx_flat = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        dx_p = dx_flat.reshape(Np, Bp)
+
+        ut_dx = (Ut @ dx_flat).reshape(Nl, Bl)
+        dx_l = planar.bmv(c_inv, system.eta_l - ut_dx, Bl, Bl)
+        return dx_p, dx_l
 
     def _build_sparse_reduced(self):
         """Host plan: SC pattern = pp pairs + landmark-induced fill pairs;
@@ -319,5 +406,14 @@ class SchurSolver:
     def solve(self, system):
         return self._solve_jit(system)
 
+    def solve_impl(self, system):
+        """Unjitted impl dispatch — for embedding in fused step functions
+        (bench / __graft_entry__) that jit the whole iteration."""
+        if self.panel_mode == "uniform":
+            return self._solve_uniform_impl(system)
+        if self.sparse_reduced:
+            return self._solve_sparse_impl(system)
+        return self._solve_impl(system)
+
     # exposed for fused step functions (bench / __graft_entry__)
-    _solve_dense_impl = _solve_impl
+    _solve_dense_impl = solve_impl

@@ -131,6 +131,24 @@ class Marginals:
                 p_diag, l_diag, sigma if self.part == "full" else None)
 
         sch = self._schur
+        if sch.panel_mode == "uniform":
+            # gather-free panels (see SchurSolver._uniform_panels)
+            c_inv, Ut, Wt = sch._uniform_panels(bs)
+            sc = sch._dense_pp(bs.pp_blocks) - Wt.T @ Ut
+            L = jnp.linalg.cholesky(sc)
+            inv_l = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(nred, dtype=dt), lower=True)
+            sigma_pp = inv_l.T @ inv_l
+            p_diag = self._extract_pdiag(sigma_pp)
+            # Sigma_l = C^-1 + W_l^T SC^-1 W_l  per landmark, from the
+            # row-partitioned W panel
+            P = Wt @ sigma_pp                                   # [Nl*Bl, nred]
+            corr = jnp.einsum("cir,cjr->cij", Wt.reshape(Nl, Bl, nred),
+                              P.reshape(Nl, Bl, nred)).reshape(Nl, Bl * Bl)
+            l_diag = c_inv + corr
+            return MarginalsResult(
+                p_diag, l_diag, sigma_pp if self.part == "full" else None)
+
         c_inv = planar.binv(bs.ll_blocks, Bl)                  # [Nl, Bl*Bl]
         u = bs.pl_blocks
         w = planar.bmm(u, c_inv[sch._pl_cols_dev], Bp, Bl, Bl)  # [Kpl, Bp*Bl]

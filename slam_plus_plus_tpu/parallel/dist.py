@@ -57,8 +57,14 @@ class DistributedAssembler(Assembler):
     """
 
     def __init__(self, system, mesh: Mesh, config=None, dtype=None):
+        import dataclasses
+        from slam_plus_plus_tpu.config import SolverConfig
         self.mesh = mesh
         self.n_shards = mesh.devices.size
+        # edge shards are arbitrary slices — the uniform [Nl, M] layout's
+        # reshape reductions assume the whole padded array on one device
+        config = dataclasses.replace(config or SolverConfig(),
+                                     edge_layout="flat")
         super().__init__(system, config, dtype)
         # shard-local contribution chunks are partial sums: the permutation-
         # gather shortcut does not apply (psum completes the reduction)

@@ -35,6 +35,8 @@ all reused across every marker of the replay.
 
 from __future__ import annotations
 
+import dataclasses
+
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -93,7 +95,8 @@ class IncrementalDoglegSolver:
         # NonlinearSolver_Lambda_DL.h:319): it persists across markers
         self.delta = trust_radius
         self.update_thresh = update_thresh
-        self.asm = Assembler(system, self.config)
+        self.asm = Assembler(system, dataclasses.replace(
+            self.config, edge_layout="flat"))
         asm = self.asm
         if asm.Nl == 0 or asm.Kpl == 0:
             raise ValueError("IncrementalDoglegSolver targets Schur-split "

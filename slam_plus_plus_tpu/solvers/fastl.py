@@ -75,7 +75,8 @@ class FastLSolver:
         # reference scripts/tests/unit_tests.sh:216-222,248-254)
         import dataclasses as _dc
         self.config = _dc.replace(self.config, schur_split="off")
-        self.asm = Assembler(system, self.config)
+        self.asm = Assembler(system, _dc.replace(
+            self.config, edge_layout="flat"))
         asm = self.asm
         assert asm.Nl == 0, "mixed-class assembler still split a class"
 

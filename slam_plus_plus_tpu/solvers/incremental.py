@@ -23,6 +23,8 @@ initializers (reference include/slam/ParseLoop.h:138,399).
 
 from __future__ import annotations
 
+import dataclasses
+
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -76,7 +78,8 @@ class IncrementalSolver:
         self.every_n = every_n
         self.max_iterations = max_iterations
         self.dx_threshold = dx_threshold
-        self.asm = Assembler(system, self.config)
+        self.asm = Assembler(system, dataclasses.replace(
+            self.config, edge_layout="flat"))
         asm = self.asm
 
         # ---- linear backend (mirrors GaussNewtonSolver) ----------------

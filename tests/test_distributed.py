@@ -33,7 +33,12 @@ def test_distributed_assembly_matches(tmp_path, family):
         D.write_g2o_ba(p, cams, pts, obs)
     system = parse_g2o(p)
 
-    asm1 = Assembler(system)
+    import dataclasses
+    from slam_plus_plus_tpu.config import SolverConfig
+    # flat layout on both sides: the distributed assembler shards parse-order
+    # edge slices, and this test compares raw block arrays elementwise
+    asm1 = Assembler(system, dataclasses.replace(SolverConfig(),
+                                                 edge_layout="flat"))
     mesh = make_edge_mesh(8)
     asm8 = DistributedAssembler(system, mesh)
     st = asm1.snapshot_states(system)
