@@ -84,95 +84,46 @@ chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = terms
 
 
 @jax.jit
-def reduce_pp(H):
-    return jax.ops.segment_sum(H, data["pp_seg"][0], num_segments=asm.Kpp)
+def reduce_pp_onehot(H):
+    ids = data["pp_seg"][0]
+    oh = (ids[:, None] == jnp.arange(asm.Kpp, dtype=ids.dtype)).astype(H.dtype)
+    return oh.T @ H
 
 
 @jax.jit
-def reduce_ll(H):
-    return jax.ops.segment_sum(H, data["slot_cslot"][1], num_segments=asm.Nl)
+def reduce_ll_reshape(H):
+    M = plan.E // asm.Nl
+    return H.reshape(asm.Nl, M, 9).sum(axis=1)
 
 
-@jax.jit
-def reduce_eta(g0, g1):
-    a = jax.ops.segment_sum(g0, data["slot_cslot"][0], num_segments=asm.Np)
-    b = jax.ops.segment_sum(g1, data["slot_cslot"][1], num_segments=asm.Nl)
-    return a, b
+timeit("asm: pp one-hot GEMM", reduce_pp_onehot, Hpp[0])
+timeit("asm: ll reshape-sum", reduce_ll_reshape, Hll[0])
 
-
-@jax.jit
-def gather_pl(H):
-    return H[asm._pl_gather] if asm._pl_gather is not False else H
-
-
-timeit("asm: pp segsum (457k->Kpp)", reduce_pp, Hpp[0])
-timeit("asm: ll segsum (457k->8000)", reduce_ll, Hll[0])
-timeit("asm: eta segsums", reduce_eta, gs[0], gs[1])
-timeit("asm: pl gather", gather_pl, Hpl[0])
-
-# ---- solve sub-stages -------------------------------------------------
+# ---- solve sub-stages (uniform path) ---------------------------------
 Bp, Bl, Np, Nl = asm.Bp, asm.Bl, asm.Np, asm.Nl
 
 
 @jax.jit
-def st_cinv(ll):
-    return planar.binv(ll, Bl)
+def st_panels(bsys):
+    return solver._uniform_panels(bsys)
 
 
-c_inv = timeit("solve: c_inv (binv 8000x3x3)", st_cinv, bs.ll_blocks)
-
-
-@jax.jit
-def st_w(u, c_inv):
-    return planar.bmm(u, c_inv[solver._pl_rows_dev * 0 + solver._pl_cols_dev],
-                      Bp, Bl, Bl)
-
-
-w = timeit("solve: w = u @ c_inv", st_w, bs.pl_blocks, c_inv)
-
-if solver.panel_mode == "onehot":
-    @jax.jit
-    def st_panels(u, w):
-        dt = u.dtype
-        u_pad = u[solver._obs_tbl] * solver._obs_valid[:, :, None].astype(dt)
-        w_pad = w[solver._obs_tbl] * solver._obs_valid[:, :, None].astype(dt)
-        onehot = (solver._obs_rows[:, :, None] ==
-                  jnp.arange(Np, dtype=solver._obs_rows.dtype)[None, None, :]
-                  ).astype(dt) * solver._obs_valid[:, :, None].astype(dt)
-        U3 = jnp.einsum("cmn,cmk->cnk", onehot, u_pad)
-        W3 = jnp.einsum("cmn,cmk->cnk", onehot, w_pad)
-        nred = Np * Bp
-        Ut = (U3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
-              .reshape(Nl * Bl, nred))
-        Wt = (W3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
-              .reshape(Nl * Bl, nred))
-        return Ut, Wt
-
-    Ut, Wt = timeit("solve: one-hot panels", st_panels, bs.pl_blocks, w)
-
-    @jax.jit
-    def st_scgemm(Ut, Wt, pp):
-        return solver._dense_pp(pp) - Wt.T @ Ut
-
-    sc = timeit("solve: SC gemm + dense_pp", st_scgemm, Ut, Wt, bs.pp_blocks)
-
-    @jax.jit
-    def st_chol(sc, rhs):
-        L = jnp.linalg.cholesky(sc)
-        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-
-    timeit("solve: dense chol 600 + trisolve", st_chol, sc,
-           bs.eta_p.reshape(-1))
+c_inv, Ut, Wt = timeit("solve: uniform panels (c_inv+U+W)", st_panels, bs)
 
 
 @jax.jit
-def st_backsub(u, c_inv, dxp, eta_l):
-    ut_dx = planar.bmv_At(u, dxp[solver._pl_rows_dev], Bp, Bl)
-    rhs_l = eta_l - jax.ops.segment_sum(ut_dx, solver._pl_cols_dev,
-                                        num_segments=Nl)
-    return planar.bmv(c_inv, rhs_l, Bl, Bl)
+def st_sc(Ut, Wt, pp):
+    return solver._dense_pp(pp) - Wt.T @ Ut
 
 
-timeit("solve: landmark backsub", st_backsub, bs.pl_blocks, c_inv,
-       bs.eta_p, bs.eta_l)
+sc = timeit("solve: SC gemm + dense_pp", st_sc, Ut, Wt, bs.pp_blocks)
+
+
+@jax.jit
+def st_chol(sc, rhs):
+    L = jnp.linalg.cholesky(sc)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+timeit("solve: dense chol 600 + trisolve", st_chol, sc, bs.eta_p.reshape(-1))

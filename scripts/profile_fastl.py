@@ -2,8 +2,11 @@
 
 Usage: python scripts/profile_fastl.py [n_poses]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 jax.config.update('jax_platforms', 'cpu')

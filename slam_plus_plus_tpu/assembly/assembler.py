@@ -369,6 +369,21 @@ class Assembler:
                 pp_swap=tuple(jnp.asarray(w) for (a, b, s, w) in plan.pp_contribs),
                 pl_seg=tuple(jnp.asarray(s) for (a, b, s) in plan.pl_contribs),
             )
+        # positional landmark -> type-local row maps for the uniform-layout
+        # broadcast gather (see _edge_sums)
+        self._l_local_maps = {}
+        if self.pl_uniform is not None:
+            for plan in self.plans:
+                if self._pad_maps.get(plan.name) is None:
+                    continue
+                lslot = plan.slot_class.index("l")
+                tname = plan.slot_types[lslot]
+                lmap = np.zeros(max(self.Nl, 1), dtype=np.int64)
+                for c, (tn, li) in enumerate(self.l_order):
+                    if tn == tname:
+                        lmap[c] = li
+                self._l_local_maps[plan.name] = jnp.asarray(lmap)
+
         self.p_mask_dev = jnp.asarray(self.p_mask, dtype=dt)
         self.l_mask_dev = jnp.asarray(self.l_mask, dtype=dt)
         self.pp_diag_ids_dev = jnp.asarray(self.pp_diag_ids)
@@ -548,8 +563,36 @@ class Assembler:
         for plan in self.plans:
             data = edge_data[plan.name]
             et = EDGE_TYPES[plan.name]
-            gathered = tuple(states[t][data["slot_local"][k]]
-                             for k, t in enumerate(et.vertex_types))
+            uniform_M = (self._pad_maps.get(plan.name) is not None and
+                         plan.E == Nl * (plan.E // max(Nl, 1)) and
+                         plan.E // max(Nl, 1) or None)
+            lmap = getattr(self, "_l_local_maps", {}).get(plan.name)
+            gathered = []
+            for k, t in enumerate(et.vertex_types):
+                sl = data["slot_local"][k]
+                st = states[t]
+                if (uniform_M and lmap is not None and
+                        plan.slot_class[k] == "l"):
+                    # uniform layout: the l slot is positional — one tiny
+                    # [Nl] gather + broadcast replaces the O(E)-row gather
+                    base = st[lmap]                            # [Nl, d]
+                    gathered.append(jnp.broadcast_to(
+                        base[:, None, :],
+                        (Nl, uniform_M, st.shape[1])).reshape(
+                            plan.E, st.shape[1]))
+                elif self._onehot_ok(plan.E, st.shape[0]):
+                    # one-hot GEMM gather: MXU row selection beats the
+                    # ~11 ns/row TPU gather for small vertex tables.
+                    # HIGHEST precision: selection must reproduce the f32
+                    # state bits exactly (default TPU f32 matmul rounds
+                    # through bf16 passes)
+                    oh = (sl[:, None] ==
+                          jnp.arange(st.shape[0], dtype=sl.dtype)).astype(dt)
+                    gathered.append(jnp.matmul(
+                        oh, st, precision=jax.lax.Precision.HIGHEST))
+                else:
+                    gathered.append(st[sl])
+            gathered = tuple(gathered)
             if plan.name in getattr(self, "_pallas_plans", ()):
                 chi2_e, hdiag_e, gs, Hpp, Hll, Hpl = self._pallas_edge_terms(
                     plan, gathered, data)
@@ -559,10 +602,6 @@ class Assembler:
 
             chi2 = chi2 + jnp.sum(chi2_e)
             max_hdiag = jnp.maximum(max_hdiag, jnp.max(hdiag_e))
-
-            uniform_M = (self._pad_maps.get(plan.name) is not None and
-                         plan.E == Nl * (plan.E // max(Nl, 1)) and
-                         plan.E // max(Nl, 1) or None)
             li = 0
             for k in range(len(plan.slot_types)):
                 cs = data["slot_cslot"][k]

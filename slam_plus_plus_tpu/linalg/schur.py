@@ -185,25 +185,25 @@ class SchurSolver:
         nred = self.n_reduced
         dt = system.pp_blocks.dtype
         c_inv = planar.binv(system.ll_blocks, Bl)              # [Nl, Bl*Bl]
-        ci3 = c_inv.reshape(Nl, Bl, Bl)
         u = system.pl_blocks
         Ut = jnp.zeros((Nl * Bl, nred), dtype=dt)
-        Wt = jnp.zeros((Nl * Bl, nred), dtype=dt)
         for ch in self._uniform_channels:
             M, off = ch["M"], ch["offset"]
-            u4 = u[off:off + Nl * M].reshape(Nl, M, Bp, Bl)
-            w4 = jnp.einsum("cmik,ckl->cmil", u4, ci3)
+            u3 = u[off:off + Nl * M].reshape(Nl, M, Bp * Bl)
             oh = (ch["rows"][:, :, None] ==
                   jnp.arange(Np, dtype=ch["rows"].dtype)[None, None, :]
                   ).astype(dt)                                  # [Nl, M, Np]
-            U3 = jnp.einsum("cmn,cmk->cnk", oh,
-                            u4.reshape(Nl, M, Bp * Bl))
-            W3 = jnp.einsum("cmn,cmk->cnk", oh,
-                            w4.reshape(Nl, M, Bp * Bl))
+            U3 = jnp.einsum("cmn,cmk->cnk", oh, u3)
             Ut = Ut + (U3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
                        .reshape(Nl * Bl, nred))
-            Wt = Wt + (W3.reshape(Nl, Np, Bp, Bl).transpose(0, 3, 1, 2)
-                       .reshape(Nl * Bl, nred))
+        # W = U C^-1 per landmark block; on the row-partitioned panel this
+        # is an unrolled tangent-dim recombination of Ut's row groups —
+        # elementwise on [Nl, nred] slices, no batched tiny matmuls
+        U3r = Ut.reshape(Nl, Bl, nred)
+        Wt = jnp.stack(
+            [sum(c_inv[:, l * Bl + k, None] * U3r[:, l, :]
+                 for l in range(Bl)) for k in range(Bl)],
+            axis=1).reshape(Nl * Bl, nred)
         return c_inv, Ut, Wt
 
     def _solve_uniform_impl(self, system):
