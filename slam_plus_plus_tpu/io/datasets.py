@@ -578,3 +578,56 @@ def write_g2o_rocv(path, tx, traj, ranges, dt, cv_info=100.0,
             f.write(f"ROCV:DELTA_TIME {k - 1} {k} {dt} " + " ".join(ut6) + "\n")
         for (k, t, r) in ranges:
             f.write(f"ROCV:RANGE {k} {n_steps + t} {r:.10f} {range_info}\n")
+
+
+def make_ba_scene_large(n_cams=871, n_points=100000, obs_per_point=8,
+                        noise_px=0.5, seed=0, f=500.0, cx=320.0, cy=240.0):
+    """Vectorized venice-scale BA scene (reference data/venice871.g2o class:
+    871 cams, ~100k+ points).  Each point is observed by exactly
+    ``obs_per_point`` cameras (the nearest ones facing it), giving a uniform
+    observation degree — the shape the sharded/uniform layouts like, at the
+    pose count of the real dataset.  Returns (cams, points, obs) in
+    make_ba_scene's format."""
+    rng = np.random.default_rng(seed)
+    points = rng.uniform(-2, 2, (n_points, 3))
+    points[:, 2] += 6.0
+
+    angs = 2 * np.pi * np.arange(n_cams) / n_cams
+    pos = np.stack([3.0 * np.sin(angs), 0.5 * np.sin(2 * angs),
+                    3.0 * np.cos(angs) - 0.5], axis=1)          # [C, 3]
+    target = np.array([0.0, 0.0, 6.0])
+    zaxis = target[None, :] - pos
+    zaxis /= np.linalg.norm(zaxis, axis=1, keepdims=True)
+    xaxis = np.cross(np.broadcast_to([0.0, 1.0, 0.0], zaxis.shape), zaxis)
+    xaxis /= np.linalg.norm(xaxis, axis=1, keepdims=True)
+    yaxis = np.cross(zaxis, xaxis)
+    R_wc = np.stack([xaxis, yaxis, zaxis], axis=2)              # [C, 3, 3]
+
+    cams = []
+    for c in range(n_cams):
+        R = R_wc[c]
+        qw = np.sqrt(max(0.0, 1 + np.trace(R))) / 2
+        if qw > 1e-9:
+            q = np.array([(R[2, 1] - R[1, 2]) / (4 * qw),
+                          (R[0, 2] - R[2, 0]) / (4 * qw),
+                          (R[1, 0] - R[0, 1]) / (4 * qw), qw])
+        else:
+            q = np.array([1.0, 0.0, 0.0, 0.0])
+        cams.append((pos[c], q, f, f, cx, cy, 0.0))
+
+    # each point picks obs_per_point cameras, spread deterministically with a
+    # random phase (cameras sit on a ring: nearby indices see similar views)
+    base = rng.integers(0, n_cams, n_points)
+    stride = max(1, n_cams // (3 * obs_per_point))
+    cam_ids = (base[:, None] +
+               stride * np.arange(obs_per_point)[None, :]) % n_cams  # [N, K]
+    pid = np.repeat(np.arange(n_points), obs_per_point)
+    cid = cam_ids.reshape(-1)
+    # project (vectorized): p_cam = R_cw (p - t)
+    Rcw = np.swapaxes(R_wc, 1, 2)[cid]                          # [E, 3, 3]
+    pc = np.einsum("eij,ej->ei", Rcw, points[pid] - pos[cid])
+    pc[:, 2] = np.maximum(pc[:, 2], 0.5)                        # keep in front
+    u = f * pc[:, 0] / pc[:, 2] + cx + rng.normal(0, noise_px, len(pid))
+    v = f * pc[:, 1] / pc[:, 2] + cy + rng.normal(0, noise_px, len(pid))
+    obs = list(zip(pid.tolist(), cid.tolist(), u.tolist(), v.tolist()))
+    return cams, points, obs

@@ -1,5 +1,7 @@
 from slam_plus_plus_tpu.parallel.dist import (
     DistributedAssembler, DistributedSchurSolver, make_edge_mesh)
+from slam_plus_plus_tpu.parallel.sharded_ba import (
+    ShardedBAOptimizer, make_lm_mesh)
 
 __all__ = ["DistributedAssembler", "DistributedSchurSolver",
-           "make_edge_mesh"]
+           "make_edge_mesh", "ShardedBAOptimizer", "make_lm_mesh"]
