@@ -180,18 +180,341 @@ EDGE_P2CI_XYZ_SIM3 = edge_type(
     _p2ci_xyz_lo_residual)
 
 
-def _angle_err_residual(states, z):
-    """Angle-error variant (reference's *_AngleErr edges): 1D angular
-    difference between the observation ray (z = normalized image coords)
-    and the predicted camera-frame ray."""
-    owner, lm = states
-    x = sim3.transform_point(owner[:7], lm)
-    ray = x / jnp.linalg.norm(x)
-    obs = jnp.concatenate([z, jnp.ones(1)])
-    obs = obs / jnp.linalg.norm(obs)
-    c = jnp.clip(jnp.dot(ray, obs), -1.0, 1.0)
-    return jnp.arccos(c)[None]
+# ======================================================================
+# the full reference edge grid: {XYZ, InvDepth, InvDist} landmarks x
+# {G: world-frame, LS: owner-local self-observation, LO: owner-local
+# other-observation} frames x {P2C: intrinsics from the camera vertex /
+# baked, P2CI: separate optimized intrinsics vertex} x {pixel, angle}
+# error (reference include/slam/Sim3_Types.h:247-3598, 27 edge classes).
+#
+# Landmark parameterization converters (Sim3SolverBase.h:455-514):
+#   inv_depth [u, v, q]   -> camera/world xyz [u/q, v/q, 1/q]
+#   inv_dist4 [dx,dy,dz,q]-> xyz dir/q (direction constant, q optimized)
+# ======================================================================
+
+
+def _safe_q(q):
+    sign = jnp.where(q == 0, 1.0, jnp.sign(q))
+    return sign * jnp.maximum(jnp.abs(q), 1e-12)
+
+
+def _invdepth_to_xyz(lm):
+    return jnp.concatenate([lm[:2], jnp.ones(1)]) / _safe_q(lm[2])
+
+
+def _invdist4_to_xyz(lm):
+    return lm[:3] / _safe_q(lm[3])
+
+
+def _project_local(x, fx, fy, cx, cy, d):
+    """Pinhole + pixel-space radial distortion of a camera-frame point."""
+    k = d / (0.5 * (fx + fy))
+    inv_z = 1.0 / x[2]
+    u = fx * x[0] * inv_z + cx
+    v = fy * x[1] * inv_z + cy
+    du, dv = u - cx, v - cy
+    w = 1.0 + k * (du * du + dv * dv)
+    return jnp.stack([cx + w * du, cy + w * dv])
+
+
+def _angle_err3(x_cam, z, fx, fy, cx, cy, d):
+    """Reference *_AngleErr residual (Sim3SolverBase.h:2920-2965): the
+    CROSS PRODUCT of the normalized predicted ray and the normalized
+    undistorted observation ray — a 3-vector whose norm is sin(angle).
+    Replicates the reference's k = d / (.5 * fx * fy) quirk ("SOSO: works
+    better for mono") and the fixed-point radial undistortion."""
+    k = d / (0.5 * fx * fy)
+    duv = z - jnp.stack([cx, cy])
+    # invert w(r) * duv = duv_obs by fixed point (r converges fast, k small)
+    dud = duv
+    for _ in range(5):
+        r2 = jnp.sum(dud * dud)
+        dud = duv / (1.0 + k * r2)
+    x_inv = jnp.stack([dud[0] / fx, dud[1] / fy, jnp.ones(())])
+    a = x_cam / jnp.linalg.norm(x_cam)
+    b = x_inv / jnp.linalg.norm(x_inv)
+    return jnp.cross(a, b)
+
+
+def _world_to_cam(cam_state, pw):
+    return sim3.transform_point(cam_state[:7], pw)
+
+
+def _local_to_cam(owner, observer, p_local):
+    """Owner-local point seen from the observer: world = owner^-1 o local
+    (our storage is world->camera, matching _invdepth_to_world)."""
+    pw = sim3.transform_point(sim3.inverse(owner[:7]), p_local)
+    return sim3.transform_point(observer[:7], pw)
+
+
+def _intr_of(cam_state):
+    return (cam_state[7], cam_state[8], cam_state[9], cam_state[10],
+            cam_state[11])
+
+
+def _z_intr(z):
+    """LS unary edges carry the (constant) owner intrinsics baked into the
+    measurement tail [u, v, fx, fy, cx, cy, d] — the TPU registry's
+    equivalent of the reference's constant m_p_camera pointer
+    (Sim3_Types.h:732: 'This is needed for the intrinsics')."""
+    return z[:2], (z[2], z[3], z[4], z[5], z[6])
+
+
+# ---- G family: world-frame landmarks ---------------------------------
+
+def _p2c_invdepth_g(states, z):
+    lm, cam = states
+    return z - _project_local(_world_to_cam(cam, _invdepth_to_xyz(lm)),
+                              *_intr_of(cam))
+
+
+EDGE_P2C_INVDEPTH_G = edge_type("edge_p2c_invdepth_g",
+                                ("inv_depth", "cam_sim3"), 2, 2,
+                                _p2c_invdepth_g)
+
+
+def _p2c_invdist_g(states, z):
+    lm, cam = states
+    return z - _project_local(_world_to_cam(cam, _invdist4_to_xyz(lm)),
+                              *_intr_of(cam))
+
+
+EDGE_P2C_INVDIST_G = edge_type("edge_p2c_invdist_g",
+                               ("inv_dist4", "cam_sim3"), 2, 2,
+                               _p2c_invdist_g)
+
+
+def _p2ci_invdepth_g(states, z):
+    lm, cam, intr = states
+    return z - _project_local(_world_to_cam(cam, _invdepth_to_xyz(lm)),
+                              intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_G = edge_type("edge_p2ci_invdepth_g",
+                                 ("inv_depth", "cam_sim3", "intrinsics"),
+                                 2, 2, _p2ci_invdepth_g)
+
+
+# ---- LS family: owner-local landmarks, self-observation --------------
+# Faithful to the reference these are UNARY in the landmark (the owner pose
+# cancels out of its own observation; Sim3_Types.h:726 "note that this is a
+# unary edge"); intrinsics ride the measurement (P2C) or a vertex (P2CI).
+
+def _p2c_xyz_ls_unary(states, z7):
+    (lm,) = states
+    z, intr = _z_intr(z7)
+    return z - _project_local(lm, *intr)
+
+
+EDGE_P2C_XYZ_LS_U = edge_type("edge_p2c_xyz_ls_u", ("xyz",), 2, 7,
+                              _p2c_xyz_ls_unary)
+
+
+def _p2c_invdepth_ls_unary(states, z7):
+    (lm,) = states
+    z, intr = _z_intr(z7)
+    return z - _project_local(_invdepth_to_xyz(lm), *intr)
+
+
+EDGE_P2C_INVDEPTH_LS_U = edge_type("edge_p2c_invdepth_ls_u", ("inv_depth",),
+                                   2, 7, _p2c_invdepth_ls_unary)
+
+
+def _p2c_invdist_ls_unary(states, z7):
+    (lm,) = states
+    z, intr = _z_intr(z7)
+    return z - _project_local(_invdist4_to_xyz(lm), *intr)
+
+
+EDGE_P2C_INVDIST_LS_U = edge_type("edge_p2c_invdist_ls_u", ("inv_dist4",),
+                                  2, 7, _p2c_invdist_ls_unary)
+
+
+def _p2ci_xyz_ls(states, z):
+    lm, intr = states
+    return z - _project_local(lm, intr[0], intr[1], intr[2], intr[3],
+                              intr[4])
+
+
+EDGE_P2CI_XYZ_LS = edge_type("edge_p2ci_xyz_ls", ("xyz", "intrinsics"),
+                             2, 2, _p2ci_xyz_ls)
+
+
+def _p2ci_invdepth_ls(states, z):
+    lm, intr = states
+    return z - _project_local(_invdepth_to_xyz(lm), intr[0], intr[1],
+                              intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_LS = edge_type("edge_p2ci_invdepth_ls",
+                                  ("inv_depth", "intrinsics"), 2, 2,
+                                  _p2ci_invdepth_ls)
+
+
+# ---- LO family: owner-local landmarks, other-observation -------------
+
+def _p2c_xyz_lo(states, z):
+    owner, observer, lm = states
+    return z - _project_local(_local_to_cam(owner, observer, lm),
+                              *_intr_of(observer))
+
+
+EDGE_P2C_XYZ_LO = edge_type("edge_p2c_xyz_lo",
+                            ("cam_sim3", "cam_sim3", "xyz"), 2, 2,
+                            _p2c_xyz_lo)
+
+
+def _p2ci_xyz_lo(states, z):
+    owner, observer, lm, intr = states
+    return z - _project_local(_local_to_cam(owner, observer, lm),
+                              intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_XYZ_LO = edge_type(
+    "edge_p2ci_xyz_lo", ("cam_sim3", "cam_sim3", "xyz", "intrinsics"),
+    2, 2, _p2ci_xyz_lo)
+
+
+def _p2ci_invdepth_lo(states, z):
+    owner, observer, lm, intr = states
+    return z - _project_local(
+        _local_to_cam(owner, observer, _invdepth_to_xyz(lm)),
+        intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_LO = edge_type(
+    "edge_p2ci_invdepth_lo",
+    ("cam_sim3", "cam_sim3", "inv_depth", "intrinsics"), 2, 2,
+    _p2ci_invdepth_lo)
+
+
+# ---- Landmark family: direct 3D observation of the landmark ----------
+# (reference CEdgeLandmark_*_Sim3_{LS,LO}, Sim3_Types.h:2129-2610)
+
+def _landmark_xyz_ls(states, z):
+    (lm,) = states
+    return z - lm
+
+
+EDGE_LANDMARK_XYZ_LS = edge_type("edge_landmark_xyz_ls", ("xyz",), 3, 3,
+                                 _landmark_xyz_ls)
+
+
+def _landmark_xyz_lo(states, z):
+    owner, observer, lm = states
+    return z - _local_to_cam(owner, observer, lm)
+
+
+EDGE_LANDMARK_XYZ_LO = edge_type("edge_landmark_xyz_lo",
+                                 ("cam_sim3", "cam_sim3", "xyz"), 3, 3,
+                                 _landmark_xyz_lo)
+
+
+def _landmark_invdepth_ls(states, z):
+    (lm,) = states
+    return z - _invdepth_to_xyz(lm)
+
+
+EDGE_LANDMARK_INVDEPTH_LS = edge_type("edge_landmark_invdepth_ls",
+                                      ("inv_depth",), 3, 3,
+                                      _landmark_invdepth_ls)
+
+
+def _landmark_invdepth_lo(states, z):
+    owner, observer, lm = states
+    return z - _local_to_cam(owner, observer, _invdepth_to_xyz(lm))
+
+
+EDGE_LANDMARK_INVDEPTH_LO = edge_type(
+    "edge_landmark_invdepth_lo", ("cam_sim3", "cam_sim3", "inv_depth"),
+    3, 3, _landmark_invdepth_lo)
+
+
+# ---- AngleErr family (3D cross-product residual) ---------------------
+
+def _p2c_xyz_angle(states, z):
+    cam, lm = states
+    return _angle_err3(_world_to_cam(cam, lm), z, *_intr_of(cam))
 
 
 EDGE_P2C_XYZ_ANGLE = edge_type("edge_p2c_xyz_angle", ("cam_sim3", "xyz"),
-                               1, 2, _angle_err_residual)
+                               3, 2, _p2c_xyz_angle)
+
+
+def _p2ci_xyz_angle(states, z):
+    cam, lm, intr = states
+    return _angle_err3(_world_to_cam(cam, lm), z, intr[0], intr[1],
+                       intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_XYZ_ANGLE = edge_type("edge_p2ci_xyz_angle",
+                                ("cam_sim3", "xyz", "intrinsics"), 3, 2,
+                                _p2ci_xyz_angle)
+
+
+def _p2c_invdepth_angle(states, z):
+    cam, lm = states
+    return _angle_err3(_world_to_cam(cam, _invdepth_to_xyz(lm)), z,
+                       *_intr_of(cam))
+
+
+EDGE_P2C_INVDEPTH_ANGLE = edge_type("edge_p2c_invdepth_angle",
+                                    ("cam_sim3", "inv_depth"), 3, 2,
+                                    _p2c_invdepth_angle)
+
+
+def _p2ci_invdepth_angle(states, z):
+    cam, lm, intr = states
+    return _angle_err3(_world_to_cam(cam, _invdepth_to_xyz(lm)), z,
+                       intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_ANGLE = edge_type(
+    "edge_p2ci_invdepth_angle", ("cam_sim3", "inv_depth", "intrinsics"),
+    3, 2, _p2ci_invdepth_angle)
+
+
+def _p2ci_xyz_angle_ls(states, z):
+    lm, intr = states
+    return _angle_err3(lm, z, intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_XYZ_ANGLE_LS = edge_type("edge_p2ci_xyz_angle_ls",
+                                   ("xyz", "intrinsics"), 3, 2,
+                                   _p2ci_xyz_angle_ls)
+
+
+def _p2ci_xyz_angle_lo(states, z):
+    owner, observer, lm, intr = states
+    return _angle_err3(_local_to_cam(owner, observer, lm), z,
+                       intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_XYZ_ANGLE_LO = edge_type(
+    "edge_p2ci_xyz_angle_lo",
+    ("cam_sim3", "cam_sim3", "xyz", "intrinsics"), 3, 2,
+    _p2ci_xyz_angle_lo)
+
+
+def _p2ci_invdepth_angle_ls(states, z):
+    lm, intr = states
+    return _angle_err3(_invdepth_to_xyz(lm), z, intr[0], intr[1], intr[2],
+                       intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_ANGLE_LS = edge_type(
+    "edge_p2ci_invdepth_angle_ls", ("inv_depth", "intrinsics"), 3, 2,
+    _p2ci_invdepth_angle_ls)
+
+
+def _p2ci_invdepth_angle_lo(states, z):
+    owner, observer, lm, intr = states
+    return _angle_err3(
+        _local_to_cam(owner, observer, _invdepth_to_xyz(lm)), z,
+        intr[0], intr[1], intr[2], intr[3], intr[4])
+
+
+EDGE_P2CI_INVDEPTH_ANGLE_LO = edge_type(
+    "edge_p2ci_invdepth_angle_lo",
+    ("cam_sim3", "cam_sim3", "inv_depth", "intrinsics"), 3, 2,
+    _p2ci_invdepth_angle_lo)

@@ -158,8 +158,9 @@ def test_sim3_invdist_ba():
 
 
 def test_sim3_angle_error_edge():
-    """1D angle-error reprojection edge: zero at ground truth, positive
-    gradient structure under perturbation."""
+    """Angle-error reprojection edge: the reference\'s 3D cross-product
+    residual (Sim3SolverBase.h:2963) — zero at ground truth, nonzero under
+    perturbation."""
     import jax.numpy as jnp
     from slam_plus_plus_tpu.models.types import EDGE_TYPES
 
@@ -169,8 +170,9 @@ def test_sim3_angle_error_edge():
     pt = jnp.asarray([0.3, 0.2, 5.0])
     from slam_plus_plus_tpu.manifolds import sim3 as m
     x = np.asarray(m.transform_point(cam[:7], pt))
-    z = jnp.asarray(x[:2] / x[2])
-    r0 = float(et.residual((cam, pt), z)[0])
-    assert abs(r0) < 1e-6
-    r1 = float(et.residual((cam, pt + 0.3), z)[0])
+    z = jnp.asarray([500.0 * x[0] / x[2] + 320.0,
+                     500.0 * x[1] / x[2] + 240.0])
+    r0 = float(jnp.linalg.norm(et.residual((cam, pt), z)))
+    assert r0 < 1e-6
+    r1 = float(jnp.linalg.norm(et.residual((cam, pt + 0.3), z)))
     assert r1 > 0.01
