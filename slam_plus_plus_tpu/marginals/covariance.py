@@ -82,9 +82,13 @@ class Marginals:
         else:
             self._schur = None
         self._sparse = None
+        # auto picks the recurrent sparse path early: it is O(fill) compute
+        # and O(fill) memory vs the dense path's O(n^3)/O(n^2), and it is
+        # the better-tested engine (oracle-exact at 7800 dims); the dense
+        # path remains for small systems and part="full"
         if (not self._schur_mode and part != "full" and
                 (mode == "sparse" or
-                 (mode == "auto" and asm.Np * asm.Bp > 6000))):
+                 (mode == "auto" and asm.Np * asm.Bp > 1500))):
             from slam_plus_plus_tpu.linalg.block_cholesky import (
                 BlockCholeskySolver)
             self._sparse = BlockCholeskySolver(asm.pp_rows, asm.pp_cols,
