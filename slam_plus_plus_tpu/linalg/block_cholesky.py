@@ -285,6 +285,24 @@ class BlockCholeskyFactor(NamedTuple):
     s_vert: jnp.ndarray               # [N, B] level-0 Jacobi scaling
 
 
+def _full_f32(fn):
+    """Trace-time full-f32 matmul precision for the factorization path.
+
+    TPU default f32 matmul precision rounds operands through bf16 passes
+    inside the blocked cholesky / solve_triangular lowerings — fatal for
+    deep eliminations (observed: non-finite first dx on the 100k-pose
+    17-level factorization, while the identical program is finite on CPU
+    f32).  No-op on CPU; the BA panel/SC GEMMs elsewhere keep the fast
+    default."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapper
+
+
 def _equilibrated_cholesky(dense):
     d = jnp.diagonal(dense)
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-10))
@@ -396,6 +414,7 @@ class BlockCholeskySolver:
             x = xk
         return x
 
+    @_full_f32
     def _factor_solve_impl(self, blocks, eta):
         # TPU f32 matmuls default to bf16 MXU passes — fatal inside a deep
         # elimination + Cholesky chain; force full-precision accumulation
@@ -413,6 +432,7 @@ class BlockCholeskySolver:
                               c_invs, Ws, etas)
             return dx * sv
 
+    @_full_f32
     def _factor_impl(self, blocks):
         with jax.default_matmul_precision("highest"):
             H = blocks[self.plan.input_perm]
@@ -423,6 +443,7 @@ class BlockCholeskySolver:
             L, s = _equilibrated_cholesky(self._bottom_dense(Hb))
             return BlockCholeskyFactor(tuple(c_invs), tuple(Ws), L, s, sv)
 
+    @_full_f32
     def _solve_with_factor_impl(self, f: BlockCholeskyFactor, eta):
         B = self.B
         etas = []
@@ -456,6 +477,7 @@ class BlockCholeskySolver:
 
     # -- recurrent sparse marginals ---------------------------------------
 
+    @_full_f32
     def _marginals_impl(self, f: BlockCholeskyFactor):
         """Takahashi-style backward recurrence over the elimination levels:
         recover Sigma = lambda^-1 restricted to the fill pattern, never

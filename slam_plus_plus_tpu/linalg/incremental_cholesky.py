@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from slam_plus_plus_tpu.ops import planar
 from slam_plus_plus_tpu.linalg.block_cholesky import (
-    BlockCholeskyFactor, BlockCholeskySolver, _equilibrated_cholesky)
+    BlockCholeskyFactor, BlockCholeskySolver, _equilibrated_cholesky,
+    _full_f32)
 
 
 class IncrementalCholesky:
@@ -139,6 +140,7 @@ class IncrementalCholesky:
     # store init / full redescent
     # ------------------------------------------------------------------
 
+    @_full_f32
     def _full_impl(self, H0):
         """Full redescent from level-0 blocks (PLAN order), collecting every
         intermediate the dirty path updates in place."""
@@ -323,6 +325,7 @@ class IncrementalCholesky:
         put(self._bot_slot, D_bot, len(plan._bottom_idx))
         return jnp.asarray(flat), jnp.asarray(counts)
 
+    @_full_f32
     def _dirty_impl(self, stores, omega_vals, omega_seg, flat, counts):
         """One fused dirty refactorization.
 
@@ -472,6 +475,7 @@ class IncrementalCholesky:
 
     # ------------------------------------------------------------------
 
+    @_full_f32
     def _solve_impl(self, stores, eta0):
         plan = self.plan  # precision handled inside _solve_with_factor_impl
         c_invs = tuple(c[:-1] for c in stores["c_invs"])

@@ -134,3 +134,36 @@ def test_incremental_ba_markers(tmp_path):
     assert len(trace) == 3
     assert final < 60.0  # converges near the batch optimum (55.57)
     assert bool(np.isfinite(np.asarray(marg.p_diag)).all())
+
+
+def test_a_solver_materializes_and_matches_lambda(tmp_path):
+    """The A solver builds the rectangular weighted Jacobian and its LSQR
+    step equals the lambda (normal-equations) step; optimize() parity."""
+    import scipy.sparse as sp
+    from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+
+    poses, edges = datasets.make_manhattan_2d(n_poses=120, seed=7)
+    p = str(tmp_path / "a.txt")
+    datasets.write_g2o_2d(p, edges, poses)
+    s1 = parse_g2o(p)
+    s2 = parse_g2o(p)
+
+    a = ASolver(s1)
+    A, b = a.materialize_A()
+    assert sp.issparse(A) and A.shape[0] > A.shape[1]
+    # chi2 == ||b||^2 at the linearization point (weighted residuals)
+    chi2_direct = float(a.chi2())
+    assert abs(float(b @ b) - chi2_direct) < 1e-6 * max(chi2_direct, 1.0)
+
+    gn = GaussNewtonSolver(s2)
+    st = gn.asm.snapshot_states(s2)
+    bs = gn.asm.assemble(st)
+    dx_ref, _ = gn._solve(bs)
+    dx_a, _ = a._solve_via_A(a.asm.snapshot_states(s1))
+    scale = max(1.0, float(np.abs(np.asarray(dx_ref)).max()))
+    assert np.abs(np.asarray(dx_a) - np.asarray(dx_ref)).max() < 1e-6 * scale
+
+    chi_a, it_a = a.optimize(5)
+    chi_l, it_l = gn.optimize(5)
+    assert it_a == it_l
+    assert abs(chi_a - chi_l) < 1e-6 * max(chi_l, 1.0)
