@@ -305,13 +305,25 @@ def _full_f32(fn):
 
 def _equilibrated_cholesky(dense):
     d = jnp.diagonal(dense)
-    s = jax.lax.rsqrt(jnp.maximum(d, 1e-10))
+    if dense.dtype != jnp.float32:
+        s = jax.lax.rsqrt(jnp.maximum(d, 1e-10))
+        return jnp.linalg.cholesky(dense * s[:, None] * s[None, :]), s
+    # f32: a deep elimination can push bottom diagonal entries NEGATIVE
+    # under round-off (observed on TPU at w100K: 17 levels, 1470-block
+    # bottom — while the same f32 program stays positive on CPU).  Scale
+    # by |d| so negative pivots don't explode the scaling, then take the
+    # smallest ridge from an escalating ladder that yields a finite
+    # factor; the solve is corrected by iterative refinement against the
+    # TRUE residual, so the ridge only weakens the preconditioner.
+    s = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), 1e-10))
     A = dense * s[:, None] * s[None, :]
-    if dense.dtype == jnp.float32:
-        # f32: guarantee positive pivots under round-off (the solve is
-        # corrected by iterative refinement against the true residual)
-        A = A + 1e-5 * jnp.eye(A.shape[0], dtype=dense.dtype)
-    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(A.shape[0], dtype=dense.dtype)
+    L = jnp.linalg.cholesky(A + 1e-5 * eye)
+    for ridge in (1e-3, 1e-1, 10.0):
+        bad = ~jnp.all(jnp.isfinite(L))
+        L = jax.lax.cond(bad,
+                         lambda r=ridge: jnp.linalg.cholesky(A + r * eye),
+                         lambda: L)
     return L, s
 
 
@@ -356,8 +368,20 @@ class BlockCholeskySolver:
         """Run the elimination levels; returns bottom (H, eta) and artifacts."""
         B = self.B
         c_invs, Ws, etas = [], [], []
+        f32 = H.dtype == jnp.float32
         for lv in self.plan.levels:
-            c_inv = planar.binv(H[lv.elim_diag_idx], B)
+            C = H[lv.elim_diag_idx]
+            if f32:
+                # f32 depth guard: a pivot block drifting near-singular
+                # under round-off makes binv's adjugate explode (finite but
+                # huge c_inv -> the factor stops being a contraction and
+                # iterative refinement diverges; observed on TPU at w100K).
+                # A relative ridge bounds kappa(C) per level; the solve
+                # refines against the true residual so only preconditioner
+                # quality is affected.
+                dmean = jnp.mean(jnp.abs(planar.bdiag(C, B)), axis=1)
+                C = planar.badd_diag(C, 1e-5 * jnp.maximum(dmean, 1e-30), B)
+            c_inv = planar.binv(C, B)
             U0 = H[lv.u_src]
             U = jnp.where(jnp.asarray(lv.u_flip)[:, None],
                           planar.btranspose(U0, B, B), U0)

@@ -106,10 +106,27 @@ def condition_estimate(asm, bs) -> float:
             parts.append(o_l.reshape(-1))
         return jnp.concatenate(parts)
 
-    def inv_matvec(X):  # A^-1 X via CG, columnwise
+    # block-Jacobi preconditioner: inverse diagonal blocks of lambda (the
+    # SPCG solver's preconditioner, reused here so the inner CG converges
+    # in O(sqrt(kappa_precond)) iterations instead of wandering for 4n)
+    from slam_plus_plus_tpu.ops import planar
+    pp_diag = bs.pp_blocks[asm.pp_diag_ids_dev]
+    pd_inv = planar.binv(pp_diag, Bp)
+    ll_inv = planar.binv(bs.ll_blocks, Bl) if Nl else None
+
+    def precond(col):
+        v_p = col[:n_p].reshape(Np, Bp)
+        parts = [planar.bmv(pd_inv, v_p, Bp, Bp).reshape(-1)]
+        if Nl:
+            parts.append(planar.bmv(ll_inv, col[n_p:].reshape(Nl, Bl),
+                                    Bl, Bl).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def inv_matvec(X):  # A^-1 X via preconditioned CG, columnwise
         def one(col):
             x, _ = jax.scipy.sparse.linalg.cg(matvec, col, tol=1e-9,
-                                              maxiter=4 * n)
+                                              maxiter=min(4 * n, 20000),
+                                              M=precond)
             return x
         return jax.vmap(one, in_axes=1, out_axes=1)(X)
 

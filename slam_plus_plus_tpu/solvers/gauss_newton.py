@@ -99,6 +99,18 @@ class GaussNewtonSolver:
                 for _ in range(n_refine):
                     hv, _ = lambda_spmv(asm, bs, dx, zl)
                     dx = dx + chol._solve_with_factor_impl(f, bs.eta_p - hv)
+                if n_refine:
+                    # f32 solve-quality gate: at extreme depth the f32
+                    # elimination can produce a finite but useless factor
+                    # (near-singular level pivot -> huge c_inv; observed on
+                    # TPU at w100K).  A true-residual check catches it on
+                    # device; NaN-ing dx makes the GN loop abort cleanly
+                    # instead of corrupting the state (the reference's
+                    # Cholesky-failure abort analogue).
+                    hv, _ = lambda_spmv(asm, bs, dx, zl)
+                    rel = (jnp.linalg.norm(bs.eta_p - hv) /
+                           jnp.maximum(jnp.linalg.norm(bs.eta_p), 1e-30))
+                    dx = jnp.where(rel < 1.0, dx, jnp.nan)
                 return dx
 
             self._sparse_solve_jit = jax.jit(sparse_solve)
