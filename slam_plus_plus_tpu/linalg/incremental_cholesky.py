@@ -158,7 +158,13 @@ class IncrementalCholesky:
             dt = H.dtype
             pad = jnp.zeros((1, B * B), dtype=dt)
             H_levels.append(jnp.concatenate([H, pad]))
-            c_inv = planar.binv(H[lv.elim_diag_idx], B)
+            C = H[lv.elim_diag_idx]
+            if dt == jnp.float32:
+                # f32 pivot ridge (see block_cholesky._descend): bounds
+                # kappa of eliminated pivots so c_inv stays a contraction
+                dmean = jnp.mean(jnp.abs(planar.bdiag(C, B)), axis=1)
+                C = planar.badd_diag(C, 1e-5 * jnp.maximum(dmean, 1e-30), B)
+            c_inv = planar.binv(C, B)
             U0 = H[lv.u_src]
             U = jnp.where(jnp.asarray(lv.u_flip)[:, None],
                           planar.btranspose(U0, B, B), U0)
@@ -374,6 +380,10 @@ class IncrementalCholesky:
             Hd = H[ext["diag_ext"][e_idx]]
             Hd = (Hd * e_mask[:, None] +
                   self._eye.astype(dt)[None, :] * (1.0 - e_mask[:, None]))
+            if dt == jnp.float32:
+                dmean = jnp.mean(jnp.abs(planar.bdiag(Hd, B)), axis=1)
+                Hd = planar.badd_diag(Hd, 1e-5 * jnp.maximum(dmean, 1e-30),
+                                      B)
             c_invs[li] = c_invs[li].at[e_idx].set(planar.binv(Hd, B))
 
             # coupling products W = U c_inv

@@ -176,3 +176,17 @@ def test_sim3_angle_error_edge():
     assert r0 < 1e-6
     r1 = float(jnp.linalg.norm(et.residual((cam, pt + 0.3), z)))
     assert r1 > 0.01
+
+
+def test_poly_fitting_example():
+    """Tutorial path: user-registered vertex/edge types fit a quartic to
+    noisy samples (reference src/poly_fitting_example)."""
+    from slam_plus_plus_tpu.app.poly_fitting import fit
+
+    rng = np.random.default_rng(5)
+    true_c = rng.normal(0, 1, 5)
+    xs = np.linspace(-1, 1, 150)
+    ys = np.polyval(true_c[::-1], xs) + rng.normal(0, 0.02, xs.shape)
+    c, chi2 = fit(xs, ys)
+    assert np.abs(c - true_c).max() < 0.05
+    assert chi2 < 2.0 * len(xs) * 1.0  # near the noise floor
