@@ -90,7 +90,14 @@ def gen(name):
         poses, edges = D.make_city_2d(n_poses=100000, seed=77)
         D.write_g2o_2d(path, edges, poses)
     elif name == "sphere2500":
-        poses, edges = D.make_sphere_3d(n_poses=2500, seed=103)
+        # milder noise than the default so the REFERENCE converges too: at
+        # the old noise level its LM stalled at chi2 6.26M while ours reached
+        # 34k, making the ratio meaningless ("not worse", not parity).  At
+        # this level both optimizers land on the identical optimum
+        # (34090.37, ref 11 LM iters with -mfnsi 30) and the ratio is real
+        # parity evidence.
+        poses, edges = D.make_sphere_3d(n_poses=2500, seed=103,
+                                        trans_noise=0.01, rot_noise=0.005)
         D.write_g2o_3d(path, edges, poses)
     elif name == "trees10k":
         gp, gl, pe, le = D.make_landmark_2d(n_poses=10000, n_landmarks=2000,
@@ -128,8 +135,8 @@ ROWS = [
      lambda p: ours_batch(p, "gn", 5), True),
     ("city10k batch -po", "city10k", ["-po"],
      lambda p: ours_batch(p, "gn", 5), True),
-    ("sphere2500 batch (LM)", "sphere2500", ["-po", "-,\\lm"],
-     lambda p: ours_batch(p, "lm", 5), True),
+    ("sphere2500 batch (LM)", "sphere2500", ["-po", "-,\\lm", "-mfnsi", "30"],
+     lambda p: ours_batch(p, "lm", 30), True),
     ("trees10k batch (landmarks)", "trees10k", [],
      lambda p: ours_batch(p, "gn", 5), True),
     ("w100K batch -po", "w100k", ["-po"],

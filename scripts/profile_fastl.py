@@ -46,12 +46,12 @@ def wrap(obj, name, key):
 
 wrap(solver, '_apply_pending', 'omega+scatter')
 wrap(solver, '_init_stores', 'full_init(assemble+factor)')
-wrap(solver, '_solve', 'solve')
+wrap(solver, '_solve', 'solve(standalone)')
 wrap(solver, '_refactor', 'full_refactor')
 if solver.inc is not None:
     wrap(solver.inc, '_host_walk', 'host_walk')
-    wrap(solver.inc, '_bundles_to_device', 'pack_bundles')
-    wrap(solver.inc, '_dirty_jit', 'dirty_kernel')
+    wrap(solver.inc, '_pack', 'pack_bundles')
+    wrap(solver.inc, '_step_jit', 'fused_step_kernel')
 
 t0 = time.perf_counter()
 chi2, iters = solver.run()

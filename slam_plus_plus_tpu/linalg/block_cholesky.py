@@ -343,9 +343,11 @@ class BlockCholeskySolver:
     """
 
     def __init__(self, rows, cols, N: int, B: int, bottom: int = 512,
-                 max_degree: int = 16, dense_cap: int = 32000):
+                 max_degree: int = 16, dense_cap: int = 32000,
+                 max_levels: int = 64):
         self.plan = SymbolicPlan(rows, cols, N, B, bottom=bottom,
-                                 max_degree=max_degree, dense_cap=dense_cap)
+                                 max_degree=max_degree, dense_cap=dense_cap,
+                                 max_levels=max_levels)
         self.N, self.B = int(N), int(B)
         self._solve_jit = jax.jit(self._factor_solve_impl)
         self._factor_jit = jax.jit(self._factor_impl)
@@ -590,13 +592,10 @@ class BlockCholeskySolver:
             self._marginals_jit = jax.jit(self._marginals_impl)
         return self._marginals_jit(f)
 
-    def marginals_from_stores(self, stores):
-        """Marginals from incremental-engine stores (dummy rows sliced)."""
-        f = BlockCholeskyFactor(
-            tuple(c[:-1] for c in stores["c_invs"]),
-            tuple(w[:-1] for w in stores["Ws"]), stores["L"], stores["s"],
-            stores["sv"])
-        return self.marginals(f)
+    def marginals_from_stores(self, stores, inc):
+        """Marginals from the incremental engine's maintained flat stores
+        (inc: the IncrementalCholesky owning the store layout)."""
+        return self.marginals(inc.to_factor(stores))
 
     @property
     def n_levels(self) -> int:

@@ -1,35 +1,41 @@
-"""Incremental (dirty-set) refactorization of the nested MIS-Schur factor.
+"""Incremental (dirty-set) refactorization of the nested MIS-Schur factor,
+fused into a single scanned device program per step.
 
 The O(affected)-per-step analogue of the reference FastL's trailing-submatrix
 R11 refactorization (reference include/slam/NonlinearSolver_FastL.h:2104-2263
 Refresh_R_IncR11/Refresh_d_IncR11): when new-edge Hessian contributions
 (omega) land on a few lambda pairs, only the factorization blocks REACHABLE
 from those pairs change.  Reachability follows the elimination levels of
-linalg/block_cholesky.py:
+linalg/block_cholesky.py.
 
-    pair delta at level L
-      -> pivot inverse c_inv[e]      (if the pair is an eliminated diagonal)
-      -> coupling products W[u]      (if the pair is a U block, or its
-                                      eliminated pivot changed)
-      -> fill products prod[t]       (if either input changed)
-      -> pair deltas at level L+1    (carry copies + product deltas)
+TPU-shaped redesign (round 4): the previous engine unrolled a Python loop
+over the L elimination levels into one XLA graph of ~15 ops/level — hundreds
+of tiny sequential ops, the wrong shape for the chip (80 ms/step observed on
+TPU, ~11 ms on CPU) and a multi-second compile.  This version:
 
-The host walks this reachability per step (pure index arithmetic on the
-symbolic plan — no device sync); the device runs ONE fused kernel over all
-levels with capacity-padded index bundles, updating the stored factor
-in place via value DELTAS, then refactors the (small) dense bottom.  A step
-whose dirty set overflows the per-level capacity falls back to the full
-(still batched) redescent — the analogue of the reference's
-Refresh_R_FullR fallback when the update window degrades
-(NonlinearSolver_FastL.h:2367).
+  * stores the whole factorization FLAT: one [sum K_l, B*B] array per kind
+    (H pattern blocks incl. the bottom, pivot inverses C, couplings W, fill
+    products P), each with two trailing rows — DUMMY (always zero, the
+    target of padded *gathers*) and SINK (scratch, the target of padded
+    *scatters*).  With that convention no mask vectors are needed anywhere:
+    a padded lane reads zeros, computes zeros, and writes them where nobody
+    looks.
+  * gives every level the SAME dirty-set capacities, so the per-level update
+    is one `lax.scan` body (~15 ops TOTAL in the compiled program, L trips)
+    instead of 15*L unrolled ops.  The host walk packs global flat indices
+    into one [L, SLOTS] int32 buffer — a single host->device transfer.
+  * fuses the dirty refactorization, the dense-bottom re-Cholesky, AND the
+    solve (descend + bottom + ascend, also scans) into ONE jitted program
+    returning (stores', dx, |dx|): one dispatch per incremental step.
 
-Per-level capacities are fixed at plan time, so the whole incremental run
-compiles exactly three programs: dirty step, full redescent, solve.
+Per-level capacities are fixed at plan time; a step whose dirty set
+overflows falls back to the full (still batched) redescent — the analogue
+of the reference's Refresh_R_FullR fallback (NonlinearSolver_FastL.h:2367).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -38,32 +44,123 @@ import jax.numpy as jnp
 
 from slam_plus_plus_tpu.ops import planar
 from slam_plus_plus_tpu.linalg.block_cholesky import (
-    BlockCholeskyFactor, BlockCholeskySolver, _equilibrated_cholesky,
-    _full_f32)
+    BlockCholeskySolver, _equilibrated_cholesky, _full_f32)
 
 
 class IncrementalCholesky:
     def __init__(self, chol: BlockCholeskySolver,
-                 caps: Optional[List[dict]] = None, omega_cap: int = 256):
+                 caps: Optional[dict] = None, omega_cap: int = 256):
         self.chol = chol
         self.plan = chol.plan
         self.B = chol.B
-        # static capacity of the per-step omega delta batch: the dirty
-        # kernel compiles exactly once; larger batches overflow to the full
+        # static capacity of the per-step omega delta batch: the fused step
+        # compiles exactly once; larger batches overflow to the full
         # redescent (amortized — they only arise from long quiet stretches)
         self.omega_cap = omega_cap
-        self._build_host_maps()
+        self._build_offsets()
         self._set_caps(caps)
-        self._build_layout()
-        # stores are donated: the dirty step updates tens of MB of factor
-        # state in place instead of copying it every step
-        self._dirty_jit = jax.jit(self._dirty_impl, donate_argnums=(0,))
+        self._build_host_maps()
+        self._build_solve_consts()
+        # stores are donated: the step updates tens of MB of factor state in
+        # place instead of copying it every step
+        self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
         self._full_jit = jax.jit(self._full_impl)
-        self._solve_jit = jax.jit(self._solve_impl)
+        self._solve_jit = jax.jit(self._solve_only_impl)
         self.n_overflows = 0
 
     # ------------------------------------------------------------------
-    # host symbolic maps
+    # flat store layout
+    # ------------------------------------------------------------------
+
+    def _build_offsets(self) -> None:
+        plan = self.plan
+        levels = plan.levels
+        # H: level patterns 0..L-1, then the bottom pattern, then dummy+sink
+        self.off_H = np.concatenate(
+            [[0], np.cumsum([lv.K for lv in levels])]).astype(np.int64)
+        self.KB = len(plan._bottom_idx)          # bottom pattern pairs
+        self.KH = int(self.off_H[-1]) + self.KB  # data rows
+        self.H_dummy, self.H_sink = self.KH, self.KH + 1
+        self.off_H_bottom = int(self.off_H[-1])
+
+        self.off_C = np.concatenate(
+            [[0], np.cumsum([lv.n_elim for lv in levels])]).astype(np.int64)
+        self.NC = int(self.off_C[-1])
+        self.C_dummy, self.C_sink = self.NC, self.NC + 1
+
+        self.off_W = np.concatenate(
+            [[0], np.cumsum([len(lv.u_src) for lv in levels])]).astype(
+                np.int64)
+        self.NW = int(self.off_W[-1])
+        self.W_dummy, self.W_sink = self.NW, self.NW + 1
+
+        self.off_P = np.concatenate(
+            [[0], np.cumsum([len(lv.pa) for lv in levels])]).astype(np.int64)
+        self.NP = int(self.off_P[-1])
+        self.P_dummy = self.NP          # P pad is both gather and scatter:
+        #                                 padded lanes write the zeros they
+        #                                 read, so one row serves both roles
+
+        nbB = plan.n_bottom * self.B
+        self.nbB = nbB
+        self.dense_sink = nbB * nbB     # dense stored flat with 1 sink slot
+
+        # device-constant extended bottom scatter plans (row KB = sink)
+        sink_row = np.full((1, self.B * self.B), self.dense_sink)
+        self._bot_idx_ext = jnp.asarray(np.concatenate(
+            [plan._bottom_idx, sink_row]).astype(np.int32))
+        self._bot_idx_t_ext = jnp.asarray(np.concatenate(
+            [plan._bottom_idx_t, sink_row]).astype(np.int32))
+        self._bot_off_ext = jnp.asarray(
+            np.concatenate([plan._bottom_off, [0.0]]))
+        self._tperm = np.asarray(plan._tperm)
+
+    def _set_caps(self, caps) -> None:
+        # uniform per-level capacities (the scan body is one program).
+        # Dirty sets stay small and nearly scale-free (a few dozen pairs
+        # even at the deepest level on 10k-pose replays — measured); the
+        # full redescent is the (rare) overflow fallback.
+        if caps is None:
+            caps = {}
+        levels = self.plan.levels
+        self.cap_d = int(caps.get("d", 256))
+        self.cap_e = int(caps.get("e", 128))
+        self.cap_w = int(caps.get("w", 256))
+        self.cap_p = int(caps.get("p", 512))
+        if levels:
+            self.cap_e = min(self.cap_e, max(lv.n_elim for lv in levels) + 1)
+            self.cap_w = min(self.cap_w,
+                             max(len(lv.u_src) for lv in levels) + 1)
+            self.cap_p = min(self.cap_p,
+                             max(len(lv.pa) for lv in levels) + 1)
+        self.cap_d = min(self.cap_d,
+                         max(max((lv.K for lv in levels), default=1),
+                             self.KB) + 1)
+        # flat per-level slot layout (int32): all global indices.  The
+        # *_dpos/_epos/_wapos slots localize each read to this step's dirty
+        # lists so the scan body never touches the big stores — old values
+        # are gathered once OUTSIDE the scan (see _step_impl), and the scan
+        # carries only the [cap_d, B*B] running pair deltas.  (Carrying the
+        # full H/C/W/P through the scan forced XLA to copy them every
+        # level: 3.8 ms/step at 3500 poses; the small-carry form is ~1 ms.)
+        slots = [("d_pos", self.cap_d), ("e_diag", self.cap_e),
+                 ("e_pos", self.cap_e), ("e_dpos", self.cap_e),
+                 ("w_usrc", self.cap_w), ("w_celim", self.cap_w),
+                 ("w_pos", self.cap_w), ("w_dpos", self.cap_w),
+                 ("w_epos", self.cap_w),
+                 ("p_wa", self.cap_p), ("p_wapos", self.cap_p),
+                 ("p_ubsrc", self.cap_p), ("p_ub_dpos", self.cap_p),
+                 ("p_pos", self.cap_p), ("p_seg", self.cap_p),
+                 ("c_pos", self.cap_d), ("c_seg", self.cap_d)]
+        off = 0
+        self._slots = {}
+        for name, size in slots:
+            self._slots[name] = (off, off + size)
+            off += size
+        self._row_len = off
+
+    # ------------------------------------------------------------------
+    # host symbolic maps (reachability walk)
     # ------------------------------------------------------------------
 
     def _build_host_maps(self) -> None:
@@ -99,139 +196,20 @@ class IncrementalCholesky:
                 prods_by_pa=order_a, pa_start=a_start,
                 prods_by_pb=order_b, pb_start=b_start))
 
-        # device-side extended constant index arrays (dummy entry appended)
-        self._dev = []
-        B = self.B
-        for lv in self.plan.levels:
-            Ku, T, K = len(lv.u_src), len(lv.pa), lv.K
-            self._dev.append(dict(
-                diag_ext=jnp.asarray(np.append(lv.elim_diag_idx, K)),
-                u_src_ext=jnp.asarray(np.append(lv.u_src, K)),
-                u_flip_ext=jnp.asarray(np.append(lv.u_flip, False)),
-                u_elim_ext=jnp.asarray(np.append(lv.u_elim, lv.n_elim)),
-                pa_ext=jnp.asarray(np.append(lv.pa, Ku)),
-                pb_ext=jnp.asarray(np.append(lv.pb, Ku)),
-                p_flip_ext=jnp.asarray(np.append(lv.p_flip, False)),
-            ))
-        eye = np.eye(B).reshape(-1)
-        self._eye = jnp.asarray(eye)
-
-    def _set_caps(self, caps) -> None:
-        if caps is not None:
-            self.caps = caps
-            return
-        # dirty sets stay small and nearly scale-free (a few dozen pairs even
-        # at the deepest level on 10k-pose replays — measured); absolute caps
-        # keep the padded kernel work O(1) in the problem size, with the full
-        # redescent as the (rare) overflow fallback
-        self.caps = []
-        for li, lv in enumerate(self.plan.levels):
-            grow = 1 + min(li, 3)
-            self.caps.append(dict(
-                d=int(min(lv.K, 128 * grow)),
-                e=int(min(lv.n_elim + 1, 64 * grow)),
-                w=int(min(len(lv.u_src) + 1, 128 * grow)),
-                p=int(min(len(lv.pa) + 1, 256 * grow)),
-            ))
-        K_bot = len(self.plan._bottom_idx)
-        self.cap_bot = int(min(K_bot, 512))
-
-    # ------------------------------------------------------------------
-    # store init / full redescent
-    # ------------------------------------------------------------------
-
-    @_full_f32
-    def _full_impl(self, H0):
-        """Full redescent from level-0 blocks (PLAN order), collecting every
-        intermediate the dirty path updates in place."""
-        with jax.default_matmul_precision("highest"):
-            return self._full_body(H0)
-
-    def _full_body(self, H0):
-        plan, B = self.plan, self.B
-        # level-0 Jacobi equilibration (see BlockCholeskyFactor): all stores
-        # live in the SCALED space; incremental deltas are scaled on entry
-        sv, outer0 = self.chol._jacobi_scale(H0)
-        H_levels, c_invs, Ws, prods = [], [], [], []
-        H = H0 * outer0
-        for li, lv in enumerate(plan.levels):
-            dt = H.dtype
-            pad = jnp.zeros((1, B * B), dtype=dt)
-            H_levels.append(jnp.concatenate([H, pad]))
-            C = H[lv.elim_diag_idx]
-            if dt == jnp.float32:
-                # f32 pivot ridge (see block_cholesky._descend): bounds
-                # kappa of eliminated pivots so c_inv stays a contraction
-                dmean = jnp.mean(jnp.abs(planar.bdiag(C, B)), axis=1)
-                C = planar.badd_diag(C, 1e-5 * jnp.maximum(dmean, 1e-30), B)
-            c_inv = planar.binv(C, B)
-            U0 = H[lv.u_src]
-            U = jnp.where(jnp.asarray(lv.u_flip)[:, None],
-                          planar.btranspose(U0, B, B), U0)
-            W = planar.bmm(U, c_inv[lv.u_elim], B, B, B)
-            if len(lv.pa):
-                prod = planar.bmm_A_Bt(W[lv.pa], U[lv.pb], B, B, B)
-                prod = jnp.where(jnp.asarray(lv.p_flip)[:, None],
-                                 planar.btranspose(prod, B, B), prod)
-            else:
-                prod = jnp.zeros((0, B * B), dtype=dt)
-            Hn = jnp.zeros((lv.K_next, B * B), dtype=dt)
-            Hn = Hn.at[jnp.asarray(lv.carry_dst)].set(H[lv.carry_src])
-            if len(lv.pa):
-                Hn = Hn - jax.ops.segment_sum(
-                    prod, jnp.asarray(lv.p_dst), num_segments=lv.K_next)
-            c_invs.append(jnp.concatenate([c_inv, pad]))
-            Ws.append(jnp.concatenate([W, pad]))
-            prods.append(jnp.concatenate([prod, pad]))
-            H = Hn
-        dense = self.chol._bottom_dense(H)
-        L, s = _equilibrated_cholesky(dense)
-        pad = jnp.zeros((1, B * B), dtype=H.dtype)
-        H_levels.append(jnp.concatenate([H, pad]))  # bottom pattern blocks
-        return dict(H_levels=tuple(H_levels), c_invs=tuple(c_invs),
-                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L,
-                    s=s, sv=sv,
-                    outer0=jnp.concatenate(
-                        [outer0, jnp.ones((1, B * B), dtype=H0.dtype)]))
-
-    def init_stores(self, H0) -> Dict:
-        """H0: level-0 blocks in PLAN order, no dummy row.
-
-        The returned stores expose 'H0' as an ALIAS of H_levels[0] (dummy
-        row included) — scatters into it keep positions < K0 so the dummy
-        stays zero, and refactor_dirty just re-installs the updated alias."""
-        out = dict(self._full_jit(H0))
-        out["H0"] = out["H_levels"][0]
-        return out
-
-    def refactor_full(self, stores) -> Dict:
-        raw = stores["H0"][:-1] / stores["outer0"][:-1]
-        out = dict(self._full_jit(raw))
-        out["H0"] = out["H_levels"][0]
-        return out
-
-    # ------------------------------------------------------------------
-    # dirty step
-    # ------------------------------------------------------------------
-
     def _host_walk(self, dirty_pos: List[np.ndarray]):
-        """Walk reachability level by level; returns per-level padded index
-        bundles (host numpy) or None on capacity overflow.
-
-        dirty_pos: list of [C_i] level-0 pair positions (one per edge)."""
+        """Walk reachability level by level; returns per-level bundles
+        (host numpy, level-local indices) or (None, None) on capacity
+        overflow.  dirty_pos: per-edge level-0 pair position arrays."""
         plan = self.plan
         levels = plan.levels
         bundles = []
-        # level-0 dirty pairs with the mapping of each edge contribution to
-        # its position in the unique list
         all_pos = (np.concatenate(dirty_pos) if dirty_pos
                    else np.zeros(0, dtype=np.int64))
-        D, inv0 = np.unique(all_pos, return_inverse=True)
+        D, _ = np.unique(all_pos, return_inverse=True)
 
         for li, lv in enumerate(levels):
-            cap = self.caps[li]
             m = self.maps[li]
-            if len(D) > cap["d"]:
+            if len(D) > self.cap_d:
                 return None, None
             e_ids = m["elim_of_pair"][D]
             E_d = e_ids[e_ids >= 0]
@@ -247,7 +225,7 @@ class IncrementalCholesky:
             else:
                 w_from_e = np.zeros(0, dtype=np.int64)
             W_d = np.unique(np.concatenate([U_val_d, w_from_e]))
-            # prods: pa in W_d, or pb value changed
+
             def _ranges(ids, order, start):
                 if not len(ids):
                     return np.zeros(0, dtype=np.int64)
@@ -260,8 +238,8 @@ class IncrementalCholesky:
             P_d = np.unique(np.concatenate([
                 _ranges(W_d, m["prods_by_pa"], m["pa_start"]),
                 _ranges(U_val_d, m["prods_by_pb"], m["pb_start"])]))
-            if (len(E_d) > cap["e"] or len(W_d) > cap["w"] or
-                    len(P_d) > cap["p"]):
+            if (len(E_d) > self.cap_e or len(W_d) > self.cap_w or
+                    len(P_d) > self.cap_p):
                 return None, None
 
             # next-level dirty pairs: carry copies + product destinations
@@ -274,197 +252,314 @@ class IncrementalCholesky:
 
             bundles.append(dict(
                 D=D, E=E_d, W=W_d, P=P_d,
-                carry_sel=carry_sel, carry_seg=carry_seg, p_seg=p_seg,
-                n_next=len(D_next)))
+                carry_sel=carry_sel, carry_seg=carry_seg, p_seg=p_seg))
             D = D_next
 
-        if len(D) > self.cap_bot:
+        if len(D) > self.cap_d:
             return None, None
         return bundles, D
 
-    def _build_layout(self) -> None:
-        """Static layout of the per-step flat index buffer: one device_put
-        per step instead of ~10 per level."""
-        off = 0
-        self._layout = []
-        for li, lv in enumerate(self.plan.levels):
-            cap = self.caps[li]
-            slots = {}
-            for name, size in (("d", cap["d"]), ("e", cap["e"]),
-                               ("w", cap["w"]), ("p", cap["p"]),
-                               ("p_seg", cap["p"]), ("c_pos", cap["d"]),
-                               ("c_seg", cap["d"])):
-                slots[name] = (off, off + size)
-                off += size
-            self._layout.append(slots)
-        self._bot_slot = (off, off + self.cap_bot)
-        off += self.cap_bot
-        self._flat_len = off
+    def _pack(self, bundles, D_bot):
+        """Pack the walk into the [L, ROW] int32 buffer (global indices,
+        pads per the dummy/sink convention) + the bottom selection."""
+        plan, B = self.plan, self.B
+        L = len(plan.levels)
+        buf = np.empty((max(L, 1), self._row_len), dtype=np.int32)
+        s = self._slots
 
-    def _bundles_to_device(self, bundles, D_bot):
-        """Pack all padded bundles into one flat int64 buffer + one counts
-        vector (two host->device transfers per step)."""
-        plan = self.plan
-        flat = np.empty(self._flat_len, dtype=np.int64)
-        counts = np.empty(2 * len(plan.levels), dtype=np.int32)
-
-        def put(slot, a, fill):
-            lo, hi = slot
+        def put(row, name, a, fill):
+            lo, hi = s[name]
             n = len(a)
-            flat[lo:lo + n] = a
-            flat[lo + n:hi] = fill
+            row[lo:lo + n] = a
+            row[lo + n:hi] = fill
+
+        def locate(sorted_list, values, miss):
+            """Position of each value in sorted_list, or `miss`."""
+            if not len(values) or not len(sorted_list):
+                return np.full(len(values), miss, dtype=np.int64)
+            pos = np.searchsorted(sorted_list, values)
+            pos_c = np.minimum(pos, len(sorted_list) - 1)
+            hit = np.asarray(sorted_list)[pos_c] == values
+            return np.where(hit, pos_c, miss)
 
         for li, lv in enumerate(plan.levels):
             b = bundles[li]
-            s = self._layout[li]
-            Ku, T, K = len(lv.u_src), len(lv.pa), lv.K
-            cap = self.caps[li]
-            put(s["d"], b["D"], K)
-            put(s["e"], b["E"], lv.n_elim)
-            put(s["w"], b["W"], Ku)
-            put(s["p"], b["P"], T)
-            put(s["p_seg"], b["p_seg"], b["n_next"])
-            put(s["c_pos"], b["carry_sel"], cap["d"])
-            put(s["c_seg"], b["carry_seg"], b["n_next"])
-            counts[2 * li] = len(b["E"])
-            counts[2 * li + 1] = len(b["P"])
-        put(self._bot_slot, D_bot, len(plan._bottom_idx))
-        return jnp.asarray(flat), jnp.asarray(counts)
+            row = buf[li]
+            oh, oc, ow, op = (self.off_H[li], self.off_C[li],
+                              self.off_W[li], self.off_P[li])
+            D, E, Wd, P = b["D"], b["E"], b["W"], b["P"]
+            if li == 0:
+                # level-0 H values were already updated by the omega scatter;
+                # the add becomes a no-op into the sink (d_val still carries
+                # the deltas for propagation)
+                put(row, "d_pos", np.full(len(D), self.H_sink), self.H_sink)
+            else:
+                put(row, "d_pos", oh + D, self.H_sink)
+            # delta localization: position of each read pair in this level's
+            # dirty list D, or cap_d (zero row).  At level 0 the omega
+            # kernel has ALREADY scattered the deltas into H, so the
+            # pre-gathered old values are current — localize to the zero
+            # row to avoid double-counting.
+            def dloc(pairs):
+                if li == 0:
+                    return np.full(len(pairs), self.cap_d, dtype=np.int64)
+                return locate(D, pairs, self.cap_d)
+
+            put(row, "e_diag", oh + lv.elim_diag_idx[E], self.H_dummy)
+            put(row, "e_pos", oc + E, self.C_sink)
+            # every dirty pivot's diag pair is in D by construction
+            put(row, "e_dpos", dloc(lv.elim_diag_idx[E]), self.cap_d)
+            # W inputs: U source pair (flip encoded in sign: ~idx = flip)
+            usrc = oh + lv.u_src[Wd]
+            usrc = np.where(lv.u_flip[Wd], -usrc - 1, usrc)
+            put(row, "w_usrc", usrc, self.H_dummy)
+            put(row, "w_celim", oc + lv.u_elim[Wd], self.C_dummy)
+            put(row, "w_pos", ow + Wd, self.W_sink)
+            put(row, "w_dpos", dloc(lv.u_src[Wd]), self.cap_d)
+            put(row, "w_epos", locate(E, lv.u_elim[Wd], self.cap_e),
+                self.cap_e)
+            # fill products
+            put(row, "p_wa", ow + lv.pa[P], self.W_dummy)
+            put(row, "p_wapos", locate(Wd, lv.pa[P], self.cap_w), self.cap_w)
+            ub = oh + lv.u_src[lv.pb[P]]
+            ub = np.where(lv.u_flip[lv.pb[P]], -ub - 1, ub)
+            put(row, "p_ubsrc", ub, self.H_dummy)
+            put(row, "p_ub_dpos", dloc(lv.u_src[lv.pb[P]]), self.cap_d)
+            ppos = op + P
+            ppos = np.where(lv.p_flip[P], -ppos - 1, ppos)
+            put(row, "p_pos", ppos, self.P_dummy)
+            put(row, "p_seg", b["p_seg"], self.cap_d)
+            put(row, "c_pos", b["carry_sel"], self.cap_d)
+            put(row, "c_seg", b["carry_seg"], self.cap_d)
+
+        bot_sel = np.full(self.cap_d, self.KB, dtype=np.int32)
+        bot_sel[:len(D_bot)] = D_bot
+        bot_h = np.full(self.cap_d, self.H_sink, dtype=np.int32)
+        bot_h[:len(D_bot)] = self.off_H_bottom + D_bot
+        return buf, bot_sel, bot_h
+
+    # ------------------------------------------------------------------
+    # full redescent -> flat stores
+    # ------------------------------------------------------------------
 
     @_full_f32
-    def _dirty_impl(self, stores, omega_vals, omega_seg, flat, counts):
-        """One fused dirty refactorization.
-
-        omega_vals: [C_tot, B*B] level-0 delta blocks (concatenated edges);
-        omega_seg: [C_tot] position of each block in the level-0 dirty list;
-        flat/counts: packed per-level index bundles (see _build_layout).
-        stores['H_levels'][0] already contains the applied omega, so level 0
-        skips the H update and only needs the delta VALUES."""
+    def _full_impl(self, H0):
+        """Full redescent from level-0 blocks (PLAN order, [K0, B*B]),
+        producing the flat stores the fused step updates in place."""
         with jax.default_matmul_precision("highest"):
-            return self._dirty_body(stores, omega_vals, omega_seg, flat,
-                                    counts)
+            plan, B = self.plan, self.B
+            sv, outer0 = self.chol._jacobi_scale(H0)
+            H_parts, C_parts, W_parts, P_parts = [], [], [], []
+            H = H0 * outer0
+            for li, lv in enumerate(plan.levels):
+                dt = H.dtype
+                H_parts.append(H)
+                C = H[lv.elim_diag_idx]
+                if dt == jnp.float32:
+                    # f32 pivot ridge (see block_cholesky._descend): bounds
+                    # kappa of eliminated pivots so c_inv stays a contraction
+                    dmean = jnp.mean(jnp.abs(planar.bdiag(C, B)), axis=1)
+                    C = planar.badd_diag(C, 1e-5 * jnp.maximum(dmean, 1e-30),
+                                         B)
+                c_inv = planar.binv(C, B)
+                U0 = H[lv.u_src]
+                U = jnp.where(jnp.asarray(lv.u_flip)[:, None],
+                              planar.btranspose(U0, B, B), U0)
+                W = planar.bmm(U, c_inv[lv.u_elim], B, B, B)
+                if len(lv.pa):
+                    prod = planar.bmm_A_Bt(W[lv.pa], U[lv.pb], B, B, B)
+                    prod = jnp.where(jnp.asarray(lv.p_flip)[:, None],
+                                     planar.btranspose(prod, B, B), prod)
+                else:
+                    prod = jnp.zeros((0, B * B), dtype=dt)
+                Hn = jnp.zeros((lv.K_next, B * B), dtype=dt)
+                Hn = Hn.at[jnp.asarray(lv.carry_dst)].set(H[lv.carry_src])
+                if len(lv.pa):
+                    Hn = Hn - jax.ops.segment_sum(
+                        prod, jnp.asarray(lv.p_dst), num_segments=lv.K_next)
+                C_parts.append(c_inv)
+                W_parts.append(W)
+                P_parts.append(prod)
+                H = Hn
+            H_parts.append(H)    # bottom pattern blocks
+            dense = self.chol._bottom_dense(H)
+            L, s = _equilibrated_cholesky(dense)
+            dt = H.dtype
+            pad2 = jnp.zeros((2, B * B), dtype=dt)
+            pad1 = jnp.zeros((1, B * B), dtype=dt)
+            return dict(
+                H=jnp.concatenate(H_parts + [pad2]),
+                C=jnp.concatenate(C_parts + [pad2]),
+                W=jnp.concatenate(W_parts + [pad2]),
+                P=jnp.concatenate(P_parts + [pad1]),
+                dense=jnp.concatenate([dense.reshape(-1),
+                                       jnp.zeros((1,), dtype=dt)]),
+                L=L, s=s, sv=sv,
+                outer0=jnp.concatenate(
+                    [outer0, jnp.ones((1, B * B), dtype=dt)]))
 
-    def _dirty_body(self, stores, omega_vals, omega_seg, flat, counts):
+    def init_stores(self, H0) -> Dict:
+        """H0: level-0 blocks in PLAN order, no dummy row.
+
+        The returned stores expose 'H0' as an ALIAS of the flat H — level-0
+        positions are < K0, so omega scatters land in the right segment."""
+        out = dict(self._full_jit(H0))
+        out["H0"] = out["H"]
+        return out
+
+    def refactor_full(self, stores) -> Dict:
+        K0 = int(self.off_H[1]) if len(self.plan.levels) else self.KH
+        raw = stores["H"][:K0] / stores["outer0"][:K0]
+        out = dict(self._full_jit(raw))
+        out["H0"] = out["H"]
+        return out
+
+    # ------------------------------------------------------------------
+    # fused step: dirty refactorization + bottom + solve, one dispatch
+    # ------------------------------------------------------------------
+
+    def _dirty_scan(self, stores, omega_vals, omega_seg, buf, bot_sel,
+                    bot_h):
         plan, B = self.plan, self.B
-        H_levels = list(stores["H_levels"])
-        c_invs = list(stores["c_invs"])
-        Ws = list(stores["Ws"])
-        prods = list(stores["prods"])
-        dt = H_levels[0].dtype
+        H, C, W, P = stores["H"], stores["C"], stores["W"], stores["P"]
+        dt = H.dtype
 
-        def sl(slot):
-            lo, hi = slot
-            return jax.lax.slice_in_dim(flat, lo, hi)
-
-        # level-0 dirty values from the omega deltas
-        cap0 = self.caps[0]["d"] if plan.levels else self.cap_bot
+        # level-0 dirty values from the omega deltas (padded rows: dropped
+        # segment cap_d sums to the sliced-off row)
         d_val = jax.ops.segment_sum(omega_vals, omega_seg,
-                                    num_segments=cap0 + 1)[:cap0]
+                                    num_segments=self.cap_d + 1)[:self.cap_d]
 
-        for li, lv in enumerate(plan.levels):
-            s = self._layout[li]
-            cap = self.caps[li]
-            d_idx = sl(s["d"])
-            e_idx = sl(s["e"])
-            w_idx = sl(s["w"])
-            p_idx = sl(s["p"])
-            e_mask = (jnp.arange(cap["e"]) < counts[2 * li]).astype(dt)
-            p_mask = (jnp.arange(cap["p"]) < counts[2 * li + 1]).astype(dt)
-            H = H_levels[li]
-            if li > 0:
-                H = H.at[d_idx].add(d_val)
-                H_levels[li] = H
-            ext = self._dev[li]
+        s = self._slots
 
-            # pivot inverses
-            Hd = H[ext["diag_ext"][e_idx]]
-            Hd = (Hd * e_mask[:, None] +
-                  self._eye.astype(dt)[None, :] * (1.0 - e_mask[:, None]))
+        def col(name):
+            lo, hi = s[name]
+            return buf[:, lo:hi]                       # [L, cap]
+
+        # ---- pre-gather every OLD value the scan reads (batched over all
+        # levels; the big stores never enter the scan carry) --------------
+        usrc = col("w_usrc")
+        uflip = usrc < 0
+        usrc = jnp.where(uflip, -usrc - 1, usrc)
+        ub = col("p_ubsrc")
+        ubflip = ub < 0
+        ub = jnp.where(ubflip, -ub - 1, ub)
+        ppos = col("p_pos")
+        pflip = ppos < 0
+        ppos = jnp.where(pflip, -ppos - 1, ppos)
+        pre = dict(
+            Hd_old=H[col("e_diag")], Uw_old=H[usrc], uflip=uflip,
+            C_old_w=C[col("w_celim")], W_old_pa=W[col("p_wa")],
+            Upb_old=H[ub], ubflip=ubflip, P_old=P[ppos], pflip=pflip,
+            e_dpos=col("e_dpos"), w_dpos=col("w_dpos"),
+            w_epos=col("w_epos"), p_wapos=col("p_wapos"),
+            p_ub_dpos=col("p_ub_dpos"), p_seg=col("p_seg"),
+            c_pos=col("c_pos"), c_seg=col("c_seg"))
+
+        zero1 = jnp.zeros((1, B * B), dtype=dt)
+
+        def body(d_val, x):
+            d_ext = jnp.concatenate([d_val, zero1])
+            Hd = x["Hd_old"] + d_ext[x["e_dpos"]]
             if dt == jnp.float32:
                 dmean = jnp.mean(jnp.abs(planar.bdiag(Hd, B)), axis=1)
                 Hd = planar.badd_diag(Hd, 1e-5 * jnp.maximum(dmean, 1e-30),
                                       B)
-            c_invs[li] = c_invs[li].at[e_idx].set(planar.binv(Hd, B))
+            c_new = planar.binv(Hd, B)                 # [cap_e, B*B]
 
-            # coupling products W = U c_inv
-            U_w = H[ext["u_src_ext"][w_idx]]
-            U_w = jnp.where(ext["u_flip_ext"][w_idx][:, None],
-                            planar.btranspose(U_w, B, B), U_w)
-            W_new = planar.bmm(U_w, c_invs[li][ext["u_elim_ext"][w_idx]],
-                               B, B, B)
-            Ws[li] = Ws[li].at[w_idx].set(W_new)
+            Uw = x["Uw_old"] + d_ext[x["w_dpos"]]
+            Uw = jnp.where(x["uflip"][:, None],
+                           planar.btranspose(Uw, B, B), Uw)
+            c_ext = jnp.concatenate([c_new, zero1])
+            c_eff = jnp.where((x["w_epos"] < self.cap_e)[:, None],
+                              c_ext[x["w_epos"]], x["C_old_w"])
+            W_new = planar.bmm(Uw, c_eff, B, B, B)     # [cap_w, B*B]
 
-            # fill products (delta vs the stored value)
-            pa = ext["pa_ext"][p_idx]
-            pb = ext["pb_ext"][p_idx]
-            U_pb = H[ext["u_src_ext"][pb]]
-            U_pb = jnp.where(ext["u_flip_ext"][pb][:, None],
-                             planar.btranspose(U_pb, B, B), U_pb)
-            newp = planar.bmm_A_Bt(Ws[li][pa], U_pb, B, B, B)
-            newp = jnp.where(ext["p_flip_ext"][p_idx][:, None],
+            W_ext = jnp.concatenate([W_new, zero1])
+            W_eff = jnp.where((x["p_wapos"] < self.cap_w)[:, None],
+                              W_ext[x["p_wapos"]], x["W_old_pa"])
+            Upb = x["Upb_old"] + d_ext[x["p_ub_dpos"]]
+            Upb = jnp.where(x["ubflip"][:, None],
+                            planar.btranspose(Upb, B, B), Upb)
+            newp = planar.bmm_A_Bt(W_eff, Upb, B, B, B)
+            newp = jnp.where(x["pflip"][:, None],
                              planar.btranspose(newp, B, B), newp)
-            newp = newp * p_mask[:, None]
-            delta_p = newp - prods[li][p_idx] * p_mask[:, None]
-            prods[li] = prods[li].at[p_idx].set(newp)
+            delta = newp - x["P_old"]
 
-            # propagate deltas to the next level
-            carry_vals = jnp.concatenate(
-                [d_val, jnp.zeros((1, B * B), dtype=dt)])
-            vals = jnp.concatenate([carry_vals[sl(s["c_pos"])], -delta_p])
-            segs = jnp.concatenate([sl(s["c_seg"]), sl(s["p_seg"])])
-            cap_next = (self.caps[li + 1]["d"]
-                        if li + 1 < len(plan.levels) else self.cap_bot)
-            d_val = jax.ops.segment_sum(vals, segs,
-                                        num_segments=cap_next + 1)[:cap_next]
+            carry_vals = d_ext[x["c_pos"]]
+            vals = jnp.concatenate([carry_vals, -delta])
+            segs = jnp.concatenate([x["c_seg"], x["p_seg"]])
+            d_next = jax.ops.segment_sum(
+                vals, segs, num_segments=self.cap_d + 1)[:self.cap_d]
+            return d_next, (d_val, c_new, W_new, newp)
+
+        if len(plan.levels):
+            d_val, (d_all, c_all, W_all, newp_all) = jax.lax.scan(
+                body, d_val, pre)
+            # ---- apply all updates to the flat stores in one batched
+            # scatter per array (entries belong to exactly one level, so
+            # there are no cross-level duplicates)
+            BB = B * B
+            H = H.at[col("d_pos").reshape(-1)].add(d_all.reshape(-1, BB))
+            C = C.at[col("e_pos").reshape(-1)].set(c_all.reshape(-1, BB))
+            W = W.at[col("w_pos").reshape(-1)].set(W_all.reshape(-1, BB))
+            P = P.at[ppos.reshape(-1)].set(newp_all.reshape(-1, BB))
 
         # bottom: apply deltas to the stored blocks + dense, refactor
-        bot_idx = sl(self._bot_slot)
-        Hb = H_levels[-1]
-        if plan.levels:
-            Hb = Hb.at[bot_idx].add(d_val)
-            H_levels[-1] = Hb
-        nbB = plan.n_bottom * B
-        bidx = jnp.concatenate([jnp.asarray(plan._bottom_idx),
-                                jnp.zeros((1, B * B), dtype=jnp.int32)])
-        bidx_t = jnp.concatenate([jnp.asarray(plan._bottom_idx_t),
-                                  jnp.zeros((1, B * B), dtype=jnp.int32)])
-        boff = jnp.concatenate([jnp.asarray(plan._bottom_off),
-                                jnp.zeros((1,))]).astype(dt)
-        dense = stores["dense"].reshape(-1)
-        # padded rows of d_val are exactly zero (segment sums of nothing)
-        dense = dense.at[bidx[bot_idx].reshape(-1)].add(d_val.reshape(-1))
-        mirr = (d_val[:, np.asarray(self.plan._tperm)] *
-                boff[bot_idx][:, None])
-        dense = dense.at[bidx_t[bot_idx].reshape(-1)].add(mirr.reshape(-1))
-        dense = dense.reshape(nbB, nbB)
-        L, s = _equilibrated_cholesky(dense)
-        return dict(H_levels=tuple(H_levels), c_invs=tuple(c_invs),
-                    Ws=tuple(Ws), prods=tuple(prods), dense=dense, L=L,
-                    s=s)
+        H = H.at[bot_h].add(d_val)
+        dense = stores["dense"]
+        dense = dense.at[self._bot_idx_ext[bot_sel].reshape(-1)].add(
+            d_val.reshape(-1))
+        mirr = (d_val[:, self._tperm] *
+                self._bot_off_ext[bot_sel][:, None].astype(dt))
+        dense = dense.at[self._bot_idx_t_ext[bot_sel].reshape(-1)].add(
+            mirr.reshape(-1))
+        L, sc = _equilibrated_cholesky(
+            dense[:-1].reshape(self.nbB, self.nbB))
+        return dict(H=H, C=C, W=W, P=P, dense=dense, L=L, s=sc,
+                    sv=stores["sv"], outer0=stores["outer0"])
 
-    def refactor_dirty(self, stores, dirty_pos: List[np.ndarray],
-                       dirty_vals) -> bool:
-        """Apply the walked dirty update in place; False on overflow.
+    @_full_f32
+    def _step_impl(self, stores, omega_vals, omega_seg, buf, bot_sel, bot_h,
+                   eta0):
+        with jax.default_matmul_precision("highest"):
+            out = self._dirty_scan(stores, omega_vals, omega_seg, buf,
+                                   bot_sel, bot_h)
+            dx = self._solve_scan(out, eta0)
+            return out, dx, jnp.linalg.norm(dx)
 
-        dirty_pos/dirty_vals: per pending edge, level-0 pair positions and
-        the corresponding delta blocks (device).  stores['H0'] must already
-        include the deltas (FastLSolver applies them when scattering)."""
+    def step(self, stores, eta0, dirty_pos: List[np.ndarray], dirty_vals):
+        """Fused dirty refactorization + solve; returns
+        (stores', dx, norm) or None on capacity overflow (caller falls back
+        to refactor_full + solve).  stores['H'] must already include the
+        omega deltas at level 0 (the omega kernel scatters them)."""
+        packed = self._prepare(dirty_pos, dirty_vals)
+        if packed is None:
+            return None
+        omega_vals, seg, buf, bot_sel, bot_h = packed
+        out, dx, norm = self._step_jit(
+            {k: stores[k] for k in ("H", "C", "W", "P", "dense", "L", "s",
+                                    "sv", "outer0")},
+            omega_vals, seg, buf, bot_sel, bot_h, eta0)
+        stores.update(out)
+        stores["H0"] = out["H"]
+        return stores, dx, norm
+
+    def _prepare(self, dirty_pos, dirty_vals):
         all_pos = np.concatenate(dirty_pos)
         if len(all_pos) > self.omega_cap:
             self.n_overflows += 1
-            return False
+            return None
         bundles, D_bot = self._host_walk(dirty_pos)
         if bundles is None:
             self.n_overflows += 1
-            return False
-        flat, cnts = self._bundles_to_device(bundles, D_bot)
+            return None
+        buf, bot_sel, bot_h = self._pack(bundles, D_bot)
 
         # segment map: each omega contribution -> its position in the padded
         # level-0 dirty list (duplicates sum); pad to the STATIC omega_cap
         # with the dropped dummy segment so the kernel never recompiles
         D0 = bundles[0]["D"] if self.plan.levels else D_bot
-        cap0 = self.caps[0]["d"] if self.plan.levels else self.cap_bot
-        seg = np.full(self.omega_cap, cap0, dtype=np.int64)
+        seg = np.full(self.omega_cap, self.cap_d, dtype=np.int64)
         seg[:len(all_pos)] = np.searchsorted(D0, all_pos)
         omega_vals = (jnp.concatenate(dirty_vals)
                       if len(dirty_vals) > 1 else dirty_vals[0])
@@ -473,27 +568,156 @@ class IncrementalCholesky:
             omega_vals = jnp.concatenate(
                 [omega_vals,
                  jnp.zeros((npad, self.B * self.B), dtype=omega_vals.dtype)])
-        # install the omega-updated level-0 alias before the kernel runs
-        inner = {k: stores[k] for k in
-                 ("H_levels", "c_invs", "Ws", "prods", "dense", "L", "s")}
-        inner["H_levels"] = (stores["H0"],) + tuple(stores["H_levels"][1:])
-        out = self._dirty_jit(inner, omega_vals, jnp.asarray(seg),
-                              flat, cnts)
+        return (omega_vals, jnp.asarray(seg), jnp.asarray(buf),
+                jnp.asarray(bot_sel), jnp.asarray(bot_h))
+
+    def refactor_dirty(self, stores, dirty_pos: List[np.ndarray],
+                       dirty_vals) -> bool:
+        """Dirty update without the fused solve (kept for callers that only
+        maintain the factor); False on overflow."""
+        packed = self._prepare(dirty_pos, dirty_vals)
+        if packed is None:
+            return False
+        omega_vals, seg, buf, bot_sel, bot_h = packed
+        if not hasattr(self, "_dirty_only_jit"):
+            @_full_f32
+            def dirty_only(stores, omega_vals, seg, buf, bot_sel, bot_h):
+                with jax.default_matmul_precision("highest"):
+                    return self._dirty_scan(stores, omega_vals, seg, buf,
+                                            bot_sel, bot_h)
+            self._dirty_only_jit = jax.jit(dirty_only, donate_argnums=(0,))
+        out = self._dirty_only_jit(
+            {k: stores[k] for k in ("H", "C", "W", "P", "dense", "L", "s",
+                                    "sv", "outer0")},
+            omega_vals, seg, buf, bot_sel, bot_h)
         stores.update(out)
-        stores["H0"] = out["H_levels"][0]
+        stores["H0"] = out["H"]
         return True
 
     # ------------------------------------------------------------------
+    # scanned solve (descend + dense bottom + ascend)
+    # ------------------------------------------------------------------
+
+    def _build_solve_consts(self) -> None:
+        """Stacked per-level device constants for the scanned solve.
+        All index arrays pad per the dummy convention (row Nmax of the eta/x
+        carry is always zero)."""
+        plan = self.plan
+        levels = plan.levels
+        L = len(levels)
+        self.Nmax = int(plan.N)
+        if not L:
+            self._solve_xs = None
+            return
+        nE_max = max(lv.n_elim for lv in levels)
+        nR_max = max(lv.n_next for lv in levels)
+        Ku_max = max(max(len(lv.u_src) for lv in levels), 1)
+        self.nE_max = nE_max
+
+        def stack(get, width, fill):
+            out = np.full((L, width), fill, dtype=np.int32)
+            for li, lv in enumerate(levels):
+                a = get(li, lv)
+                out[li, :len(a)] = a
+            return jnp.asarray(out)
+
+        Nd = self.Nmax                  # eta/x dummy row
+        self._solve_xs = dict(
+            elim=stack(lambda li, lv: lv.elim_orig, nE_max, Nd),
+            rest=stack(lambda li, lv: lv.rest_orig, nR_max, Nd),
+            # rest ids padded into a FULL Nmax-wide slot (eta carry rebuild)
+            rest_full=stack(lambda li, lv: lv.rest_orig, self.Nmax, Nd),
+            u_w=stack(lambda li, lv: self.off_W[li] + np.arange(
+                len(lv.u_src)), Ku_max, self.W_dummy),
+            u_elim=stack(lambda li, lv: lv.u_elim, Ku_max, nE_max),
+            u_rest=stack(lambda li, lv: lv.u_rest_next, Ku_max, Nd),
+            c_g=stack(lambda li, lv: self.off_C[li] + np.arange(lv.n_elim),
+                      nE_max, self.C_dummy),
+            elim_full=stack(lambda li, lv: lv.elim_orig, self.Nmax, Nd),
+        )
+
+    def _solve_scan(self, stores, eta0):
+        """Solve lambda dx = eta0 with the current flat factor stores."""
+        plan, B = self.plan, self.B
+        Nmax = self.Nmax
+        C, W = stores["C"], stores["W"]
+        dt = C.dtype
+        eta = eta0 * stores["sv"]
+        eta = jnp.concatenate([eta, jnp.zeros((1, B), dtype=dt)])
+        xs = self._solve_xs
+
+        if xs is not None:
+            nE_max = self.nE_max
+
+            def down(eta, x):
+                eta_E = eta[x["elim"]]                       # [nE_max, B]
+                eta_E_ext = jnp.concatenate(
+                    [eta_E, jnp.zeros((1, B), dtype=dt)])
+                corr = planar.bmv(W[x["u_w"]], eta_E_ext[x["u_elim"]], B, B)
+                seg = jax.ops.segment_sum(corr, x["u_rest"],
+                                          num_segments=Nmax + 1)[:Nmax]
+                eta_next = eta[x["rest_full"]] - seg
+                eta_next = jnp.concatenate(
+                    [eta_next, jnp.zeros((1, B), dtype=dt)])
+                return eta_next, eta_E
+
+            eta, eta_Es = jax.lax.scan(down, eta, xs)
+
+        nb = plan.n_bottom
+        eta_b = eta[:nb].reshape(nb * B)
+        y = jax.scipy.linalg.solve_triangular(
+            stores["L"], eta_b * stores["s"], lower=True)
+        xb = stores["s"] * jax.scipy.linalg.solve_triangular(
+            stores["L"].T, y, lower=False)
+        x = jnp.zeros((Nmax + 1, B), dtype=dt)
+        x = x.at[:nb].set(xb.reshape(nb, B))
+
+        if xs is not None:
+            def up(x, inp):
+                xcon, eta_E = inp
+                corr = planar.bmv_At(W[xcon["u_w"]], x[xcon["u_rest"]], B, B)
+                x_e = planar.bmv(C[xcon["c_g"]], eta_E, B, B) - \
+                    jax.ops.segment_sum(corr, xcon["u_elim"],
+                                        num_segments=self.nE_max + 1)[
+                                            :self.nE_max]
+                xk = jnp.zeros((Nmax + 1, B), dtype=dt)
+                xk = xk.at[xcon["rest_full"]].set(x[:Nmax])
+                xk = xk.at[xcon["elim_full"]].set(
+                    jnp.concatenate(
+                        [x_e,
+                         jnp.zeros((Nmax - self.nE_max, B), dtype=dt)]))
+                return xk, None
+
+            x, _ = jax.lax.scan(up, x, (xs, eta_Es), reverse=True)
+
+        return x[:Nmax] * stores["sv"]
 
     @_full_f32
-    def _solve_impl(self, stores, eta0):
-        plan = self.plan  # precision handled inside _solve_with_factor_impl
-        c_invs = tuple(c[:-1] for c in stores["c_invs"])
-        Ws = tuple(w[:-1] for w in stores["Ws"])
-        f = BlockCholeskyFactor(c_invs, Ws, stores["L"], stores["s"],
-                                stores["sv"])
-        return self.chol._solve_with_factor_impl(f, eta0)
+    def _solve_only_impl(self, stores, eta0):
+        with jax.default_matmul_precision("highest"):
+            dx = self._solve_scan(stores, eta0)
+            return dx, jnp.linalg.norm(dx)
 
     def solve(self, stores, eta0):
+        dx, _ = self.solve_with_norm(stores, eta0)
+        return dx
+
+    def solve_with_norm(self, stores, eta0):
         return self._solve_jit(
-            {k: stores[k] for k in ("c_invs", "Ws", "L", "s", "sv")}, eta0)
+            {k: stores[k] for k in ("C", "W", "L", "s", "sv")}, eta0)
+
+    # ------------------------------------------------------------------
+
+    def to_factor(self, stores):
+        """Slice the flat stores back into a BlockCholeskyFactor — the
+        bridge from the maintained incremental state to the recurrent
+        marginals recovery (BlockCholeskySolver.marginals)."""
+        from slam_plus_plus_tpu.linalg.block_cholesky import (
+            BlockCholeskyFactor)
+        L = len(self.plan.levels)
+        c_invs = tuple(stores["C"][self.off_C[i]:self.off_C[i + 1]]
+                       for i in range(L))
+        Ws = tuple(stores["W"][self.off_W[i]:self.off_W[i + 1]]
+                   for i in range(L))
+        return BlockCholeskyFactor(c_invs, Ws, stores["L"], stores["s"],
+                                   stores["sv"])

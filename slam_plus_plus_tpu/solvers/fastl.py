@@ -294,6 +294,9 @@ class FastLSolver:
                 # host positions in the kernel's C-major order
                 pos_l.append(np.stack([p[chunk] for p in pos_meta]).reshape(-1))
                 val_l.append(scaled)
+        if self.inc is not None:
+            # the omega kernel donated the flat H buffer; re-sync the alias
+            stores["H"] = stores["H0"]
         return eta0, pos_l, val_l
 
     def _refactor(self, stores):
@@ -304,18 +307,12 @@ class FastLSolver:
         stores["factor"] = self.chol._factor_jit(H0[self._inv_input_perm])
         return stores
 
-    def _refactor_after_omega(self, stores, dirty_pos, dirty_vals):
-        """Returns True if the incremental refactorization handled the
-        update, False on dirty-capacity overflow (caller does the full)."""
-        if self.inc is not None:
-            return self.inc.refactor_dirty(stores, dirty_pos, dirty_vals)
-        self._refactor(stores)
-        return True
-
     def _solve(self, stores, eta0):
+        """Returns (dx, norm) with norm a device scalar."""
         if self.inc is not None:
-            return self.inc.solve(stores, eta0)
-        return self.chol._solve_with_factor_jit(stores["factor"], eta0)
+            return self.inc.solve_with_norm(stores, eta0)
+        dx = self.chol._solve_with_factor_jit(stores["factor"], eta0)
+        return dx, jnp.linalg.norm(dx)
 
     # ------------------------------------------------------------------
 
@@ -369,6 +366,7 @@ class FastLSolver:
             # additive, so materializing all pending edges here in one
             # batched dispatch gives bit-identical results to per-step
             # application at a fraction of the dispatches) -----------------
+            fused_dx = None
             if pending:
                 eta0, dirty_pos, dirty_vals = self._apply_pending(
                     stores, eta0, states, pending)
@@ -379,17 +377,25 @@ class FastLSolver:
                     stores = self._refactor(stores)
                     omega_since_full = 0
                     n_full += 1
-                else:
-                    ok = self._refactor_after_omega(stores, dirty_pos,
-                                                    dirty_vals)
-                    if not ok:   # dirty-capacity overflow: full fallback
+                elif self.inc is not None:
+                    # ONE fused dispatch: dirty refactorization + solve
+                    res = self.inc.step(stores, eta0, dirty_pos, dirty_vals)
+                    if res is None:   # dirty-capacity overflow
                         stores = self._refactor(stores)
                         n_full += 1
+                    else:
+                        stores, fdx, fnorm = res
+                        fused_dx = (fdx, fnorm)
+                else:
+                    stores = self._refactor(stores)
                 n_steps_applied += 1
             for it in range(self.max_iterations):
                 total_iters += 1
-                dx = self._solve(stores, eta0)
-                norm = float(jnp.linalg.norm(dx))
+                if it == 0 and fused_dx is not None:
+                    dx, norm_dev = fused_dx
+                else:
+                    dx, norm_dev = self._solve(stores, eta0)
+                norm = float(norm_dev)
                 # numerical-failure guard: a near-singular lambda can yield
                 # an astronomically large FINITE step; pushing it destroys
                 # the state irrecoverably.  Reject like a failed Cholesky
@@ -423,7 +429,7 @@ class FastLSolver:
         # reference NonlinearSolver_FastL.h:582-605: CalculateOneTimeDx +
         # PushValuesInGraphSystem, evaluate, revert)
         if stores is not None and lin_dirty:
-            dx = self._solve(stores, eta0)
+            dx, _norm = self._solve(stores, eta0)
             if bool(jnp.all(jnp.isfinite(dx))):
                 states = asm._update_jit(
                     states, dx, jnp.zeros((1, asm.Bl), dtype=asm.dtype))

@@ -292,7 +292,7 @@ class OnlineFastLSolver:
             for rhs in self._col_rhs(e):
                 x = np.asarray(fs._solve(self._stores,
                                          jnp.asarray(rhs,
-                                                     dtype=fs.asm.dtype)))
+                                                     dtype=fs.asm.dtype))[0])
                 cols.append(x)
         Xnew = np.stack(cols) if cols else np.zeros((0, 1, 1))
         self._X = (Xnew if self._X is None
@@ -355,15 +355,18 @@ class OnlineFastLSolver:
             self._eta0, dirty_pos, dirty_vals = fs._apply_pending(
                 self._stores, self._eta0, self._states, self._pending)
             self._pending.clear()
-            ok = fs._refactor_after_omega(self._stores, dirty_pos,
-                                          dirty_vals)
+            if fs.inc is not None:
+                ok = fs.inc.refactor_dirty(self._stores, dirty_pos,
+                                           dirty_vals)
+            else:
+                ok = False
             if not ok:
                 self._stores = fs._refactor(self._stores)
             # factor changed -> X columns are stale
             if self._fringe:
                 self._resolve_X()
         for _ in range(self.max_iterations):
-            base = np.asarray(fs._solve(self._stores, self._eta0))
+            base = np.asarray(fs._solve(self._stores, self._eta0)[0])
             dx = self._woodbury(base)
             norm = float(np.linalg.norm(dx))
             if not np.isfinite(norm) or norm > 1e5 or \
@@ -387,7 +390,7 @@ class OnlineFastLSolver:
         for e in self._fringe:
             for rhs in self._col_rhs(e):
                 cols.append(np.asarray(fs._solve(
-                    self._stores, jnp.asarray(rhs, dtype=fs.asm.dtype))))
+                    self._stores, jnp.asarray(rhs, dtype=fs.asm.dtype))[0]))
         self._X = np.stack(cols) if cols else None
         if self._X is not None:
             self._rebuild_gram()
@@ -428,7 +431,7 @@ class OnlineFastLSolver:
                 self._resolve_X()
             self._lin_dirty = True
         if self._lin_dirty:
-            base = np.asarray(fs._solve(self._stores, self._eta0))
+            base = np.asarray(fs._solve(self._stores, self._eta0)[0])
             dx = self._woodbury(base)
             if np.all(np.isfinite(dx)):
                 self._states = fs.asm._update_jit(

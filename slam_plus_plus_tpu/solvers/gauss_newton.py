@@ -83,35 +83,79 @@ class GaussNewtonSolver:
             from slam_plus_plus_tpu.linalg.block_cholesky import (
                 BlockCholeskySolver)
             from slam_plus_plus_tpu.linalg.spmv import lambda_spmv
+            f32 = self.asm.dtype == jnp.float32
+            # f32 depth cap: error through the MIS-Schur elimination grows
+            # with the level count — at 17 levels (w100K scale) the f32
+            # factor left O(1) error in a subspace and plain refinement
+            # diverged.  Capping at 8 levels raises the dense bottom only
+            # modestly (w100K: 1470 -> 2966 blocks = one ~9k-dim MXU
+            # Cholesky, ~10 ms class) while removing 40% of the scatter
+            # products and halving the error depth; f64 keeps full depth
+            # (deep elimination is cheaper than a large host/dense bottom
+            # there).
             self._sparse_chol = BlockCholeskySolver(
-                asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp)
+                asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp,
+                **(dict(max_levels=8) if f32 else {}))
             chol = self._sparse_chol
-            # f32 deep eliminations lose ~3-4 digits; a couple of cheap
-            # refinement sweeps against the cached factor restore the GN
-            # step to working precision (f64 needs none)
-            n_refine = (self.config.refine_iterations
-                        if self.asm.dtype == jnp.float32 else 0)
+            pcg_iters = (self.config.refine_iterations + 10) if f32 else 0
 
             def sparse_solve(bs):
                 f = chol._factor_impl(bs.pp_blocks)
-                dx = chol._solve_with_factor_impl(f, bs.eta_p)
+                b = bs.eta_p
+                dx = chol._solve_with_factor_impl(f, b)
+                if not pcg_iters:
+                    return dx
+                # f32: wrap the factor as a PCG preconditioner.  Unlike
+                # stationary refinement (round 3: diverged whenever the f32
+                # factor stopped being a contraction), CG converges for ANY
+                # SPD preconditioner quality — the Krylov step optimally
+                # damps the modes the factor got wrong.  Bounded iteration
+                # count + true-residual exit, all on device.
                 zl = jnp.zeros((max(asm.Nl, 1), asm.Bl), dtype=dx.dtype)
-                for _ in range(n_refine):
-                    hv, _ = lambda_spmv(asm, bs, dx, zl)
-                    dx = dx + chol._solve_with_factor_impl(f, bs.eta_p - hv)
-                if n_refine:
-                    # f32 solve-quality gate: at extreme depth the f32
-                    # elimination can produce a finite but useless factor
-                    # (near-singular level pivot -> huge c_inv; observed on
-                    # TPU at w100K).  A true-residual check catches it on
-                    # device; NaN-ing dx makes the GN loop abort cleanly
-                    # instead of corrupting the state (the reference's
-                    # Cholesky-failure abort analogue).
-                    hv, _ = lambda_spmv(asm, bs, dx, zl)
-                    rel = (jnp.linalg.norm(bs.eta_p - hv) /
-                           jnp.maximum(jnp.linalg.norm(bs.eta_p), 1e-30))
-                    dx = jnp.where(rel < 1.0, dx, jnp.nan)
-                return dx
+
+                def mv(x):
+                    hv, _ = lambda_spmv(asm, bs, x, zl)
+                    return hv
+
+                def dot(a, c):
+                    return jnp.vdot(a.reshape(-1), c.reshape(-1))
+
+                bn2 = dot(b, b)
+                tol2 = jnp.asarray(1e-8, dx.dtype) * bn2   # rel 1e-4
+                r0 = b - mv(dx)
+                z0 = chol._solve_with_factor_impl(f, r0)
+                state = (dx, r0, z0, z0, dot(r0, z0), jnp.asarray(0))
+
+                def cond(s):
+                    x, r, z, p, rz, k = s
+                    return (k < pcg_iters) & (dot(r, r) > tol2) & \
+                        jnp.isfinite(rz)
+
+                def body(s):
+                    x, r, z, p, rz, k = s
+                    Ap = mv(p)
+                    alpha = rz / dot(p, Ap)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = chol._solve_with_factor_impl(f, r)
+                    rz_new = dot(r, z)
+                    p = z + (rz_new / rz) * p
+                    return (x, r, z, p, rz_new, k + 1)
+
+                dx_new, r, *_ = jax.lax.while_loop(cond, body, state)
+                # solve-quality gate: keep whichever of (direct, PCG) has
+                # the smaller TRUE residual, and NaN the step if even that
+                # is garbage — the GN loop aborts cleanly instead of
+                # corrupting the state (the reference's Cholesky-failure
+                # abort analogue, NonlinearSolver_Lambda.h:666-668).
+                rel2 = dot(r, r) / jnp.maximum(bn2, 1e-30)
+                r_direct = b - mv(dx)
+                rel2_direct = dot(r_direct, r_direct) / jnp.maximum(bn2,
+                                                                    1e-30)
+                better = (rel2 < rel2_direct) & jnp.all(jnp.isfinite(dx_new))
+                dx = jnp.where(better, dx_new, dx)
+                rel2 = jnp.minimum(rel2, rel2_direct)
+                return jnp.where(rel2 < 1.0, dx, jnp.nan)
 
             self._sparse_solve_jit = jax.jit(sparse_solve)
 
