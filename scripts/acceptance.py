@@ -31,6 +31,9 @@ if os.environ.get("SLAMPP_ACCEPT_BACKEND", "cpu") != "tpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+from slam_plus_plus_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
 import numpy as np
 
 import slam_plus_plus_tpu.models  # noqa: F401

@@ -48,8 +48,10 @@ from slam_plus_plus_tpu.linalg.block_cholesky import (
 
 
 class IncrementalCholesky:
+    _NOT_PREPARED = object()   # sentinel: "compute prepare_host inline"
+
     def __init__(self, chol: BlockCholeskySolver,
-                 caps: Optional[dict] = None, omega_cap: int = 256):
+                 caps: Optional[dict] = None, omega_cap: int = 768):
         self.chol = chol
         self.plan = chol.plan
         self.B = chol.B
@@ -123,10 +125,10 @@ class IncrementalCholesky:
         if caps is None:
             caps = {}
         levels = self.plan.levels
-        self.cap_d = int(caps.get("d", 256))
-        self.cap_e = int(caps.get("e", 128))
-        self.cap_w = int(caps.get("w", 256))
-        self.cap_p = int(caps.get("p", 512))
+        self.cap_d = int(caps.get("d", 384))
+        self.cap_e = int(caps.get("e", 192))
+        self.cap_w = int(caps.get("w", 384))
+        self.cap_p = int(caps.get("p", 768))
         if levels:
             self.cap_e = min(self.cap_e, max(lv.n_elim for lv in levels) + 1)
             self.cap_w = min(self.cap_w,
@@ -527,12 +529,14 @@ class IncrementalCholesky:
             dx = self._solve_scan(out, eta0)
             return out, dx, jnp.linalg.norm(dx)
 
-    def step(self, stores, eta0, dirty_pos: List[np.ndarray], dirty_vals):
+    def step(self, stores, eta0, dirty_pos: List[np.ndarray], dirty_vals,
+             host_packed=_NOT_PREPARED):
         """Fused dirty refactorization + solve; returns
         (stores', dx, norm) or None on capacity overflow (caller falls back
         to refactor_full + solve).  stores['H'] must already include the
-        omega deltas at level 0 (the omega kernel scatters them)."""
-        packed = self._prepare(dirty_pos, dirty_vals)
+        omega deltas at level 0 (the omega kernel scatters them).
+        host_packed: optional precomputed prepare_host result (pipelining)."""
+        packed = self._prepare(dirty_pos, dirty_vals, host_packed)
         if packed is None:
             return None
         omega_vals, seg, buf, bot_sel, bot_h = packed
@@ -544,7 +548,11 @@ class IncrementalCholesky:
         stores["H0"] = out["H"]
         return stores, dx, norm
 
-    def _prepare(self, dirty_pos, dirty_vals):
+    def prepare_host(self, dirty_pos: List[np.ndarray]):
+        """Host half of a step: reachability walk + index packing.  Pure
+        numpy (no device work) so callers can run it for solve point k+1
+        WHILE the device executes step k.  Returns (seg, buf, bot_sel,
+        bot_h) or None on capacity overflow."""
         all_pos = np.concatenate(dirty_pos)
         if len(all_pos) > self.omega_cap:
             self.n_overflows += 1
@@ -554,13 +562,23 @@ class IncrementalCholesky:
             self.n_overflows += 1
             return None
         buf, bot_sel, bot_h = self._pack(bundles, D_bot)
-
-        # segment map: each omega contribution -> its position in the padded
-        # level-0 dirty list (duplicates sum); pad to the STATIC omega_cap
-        # with the dropped dummy segment so the kernel never recompiles
+        # segment map: each omega contribution -> its position in the
+        # level-0 dirty list (duplicates sum); unpadded — callers pad as
+        # their omega-value layout requires
         D0 = bundles[0]["D"] if self.plan.levels else D_bot
-        seg = np.full(self.omega_cap, self.cap_d, dtype=np.int64)
-        seg[:len(all_pos)] = np.searchsorted(D0, all_pos)
+        seg = np.searchsorted(D0, all_pos)
+        return (seg, buf, bot_sel, bot_h)
+
+    def _prepare(self, dirty_pos, dirty_vals, host_packed=_NOT_PREPARED):
+        if host_packed is IncrementalCholesky._NOT_PREPARED:
+            host_packed = self.prepare_host(dirty_pos)
+        if host_packed is None:
+            return None
+        seg, buf, bot_sel, bot_h = host_packed
+        # pad segments to the STATIC omega_cap (dropped dummy segment) so
+        # the standalone step kernel never recompiles
+        seg_pad = np.full(self.omega_cap, self.cap_d, dtype=np.int64)
+        seg_pad[:len(seg)] = seg
         omega_vals = (jnp.concatenate(dirty_vals)
                       if len(dirty_vals) > 1 else dirty_vals[0])
         npad = self.omega_cap - omega_vals.shape[0]
@@ -568,7 +586,7 @@ class IncrementalCholesky:
             omega_vals = jnp.concatenate(
                 [omega_vals,
                  jnp.zeros((npad, self.B * self.B), dtype=omega_vals.dtype)])
-        return (omega_vals, jnp.asarray(seg), jnp.asarray(buf),
+        return (omega_vals, jnp.asarray(seg_pad), jnp.asarray(buf),
                 jnp.asarray(bot_sel), jnp.asarray(bot_h))
 
     def refactor_dirty(self, stores, dirty_pos: List[np.ndarray],
@@ -599,69 +617,79 @@ class IncrementalCholesky:
     # ------------------------------------------------------------------
 
     def _build_solve_consts(self) -> None:
-        """Stacked per-level device constants for the scanned solve.
-        All index arrays pad per the dummy convention (row Nmax of the eta/x
-        carry is always zero)."""
+        """Stacked per-level device constants for the scanned solve,
+        BUCKETED by level size: levels shrink ~0.6x each, so padding every
+        level to the level-0 width wastes ~9x the work — contiguous levels
+        within a <2x size range share one scan instead.  All index arrays
+        pad per the dummy convention (row Nb of the bucket's eta/x carry is
+        always zero)."""
         plan = self.plan
         levels = plan.levels
         L = len(levels)
         self.Nmax = int(plan.N)
-        if not L:
-            self._solve_xs = None
-            return
-        nE_max = max(lv.n_elim for lv in levels)
-        nR_max = max(lv.n_next for lv in levels)
-        Ku_max = max(max(len(lv.u_src) for lv in levels), 1)
-        self.nE_max = nE_max
+        self._solve_buckets = []
+        b_start = 0
+        while b_start < L:
+            n0 = levels[b_start].n
+            b_end = b_start + 1
+            while b_end < L and levels[b_end].n > 0.55 * n0:
+                b_end += 1
+            lvls = levels[b_start:b_end]
+            Lb = len(lvls)
+            Nb = int(n0)
+            nE_max = max(lv.n_elim for lv in lvls)
+            Ku_max = max(max(len(lv.u_src) for lv in lvls), 1)
 
-        def stack(get, width, fill):
-            out = np.full((L, width), fill, dtype=np.int32)
-            for li, lv in enumerate(levels):
-                a = get(li, lv)
-                out[li, :len(a)] = a
-            return jnp.asarray(out)
+            def stack(get, width, fill):
+                out = np.full((Lb, width), fill, dtype=np.int32)
+                for li, lv in enumerate(lvls):
+                    a = get(b_start + li, lv)
+                    out[li, :len(a)] = a
+                return jnp.asarray(out)
 
-        Nd = self.Nmax                  # eta/x dummy row
-        self._solve_xs = dict(
-            elim=stack(lambda li, lv: lv.elim_orig, nE_max, Nd),
-            rest=stack(lambda li, lv: lv.rest_orig, nR_max, Nd),
-            # rest ids padded into a FULL Nmax-wide slot (eta carry rebuild)
-            rest_full=stack(lambda li, lv: lv.rest_orig, self.Nmax, Nd),
-            u_w=stack(lambda li, lv: self.off_W[li] + np.arange(
-                len(lv.u_src)), Ku_max, self.W_dummy),
-            u_elim=stack(lambda li, lv: lv.u_elim, Ku_max, nE_max),
-            u_rest=stack(lambda li, lv: lv.u_rest_next, Ku_max, Nd),
-            c_g=stack(lambda li, lv: self.off_C[li] + np.arange(lv.n_elim),
-                      nE_max, self.C_dummy),
-            elim_full=stack(lambda li, lv: lv.elim_orig, self.Nmax, Nd),
-        )
+            xs = dict(
+                elim=stack(lambda gi, lv: lv.elim_orig, nE_max, Nb),
+                rest_full=stack(lambda gi, lv: lv.rest_orig, Nb, Nb),
+                u_w=stack(lambda gi, lv: self.off_W[gi] + np.arange(
+                    len(lv.u_src)), Ku_max, self.W_dummy),
+                u_elim=stack(lambda gi, lv: lv.u_elim, Ku_max, nE_max),
+                u_rest=stack(lambda gi, lv: lv.u_rest_next, Ku_max, Nb),
+                c_g=stack(lambda gi, lv: self.off_C[gi] +
+                          np.arange(lv.n_elim), nE_max, self.C_dummy),
+                elim_full=stack(lambda gi, lv: lv.elim_orig, Nb, Nb),
+            )
+            self._solve_buckets.append(dict(
+                xs=xs, Nb=Nb, nE_max=nE_max,
+                n_exit=int(lvls[-1].n_next)))
+            b_start = b_end
 
     def _solve_scan(self, stores, eta0):
         """Solve lambda dx = eta0 with the current flat factor stores."""
         plan, B = self.plan, self.B
-        Nmax = self.Nmax
         C, W = stores["C"], stores["W"]
         dt = C.dtype
         eta = eta0 * stores["sv"]
         eta = jnp.concatenate([eta, jnp.zeros((1, B), dtype=dt)])
-        xs = self._solve_xs
 
-        if xs is not None:
-            nE_max = self.nE_max
+        eta_Es_l = []
+        for bk in self._solve_buckets:
+            Nb, nE_max, xs = bk["Nb"], bk["nE_max"], bk["xs"]
+            eta = eta[:Nb + 1]     # rows >= entering size are zero
 
-            def down(eta, x):
+            def down(eta, x, Nb=Nb):
                 eta_E = eta[x["elim"]]                       # [nE_max, B]
                 eta_E_ext = jnp.concatenate(
                     [eta_E, jnp.zeros((1, B), dtype=dt)])
                 corr = planar.bmv(W[x["u_w"]], eta_E_ext[x["u_elim"]], B, B)
                 seg = jax.ops.segment_sum(corr, x["u_rest"],
-                                          num_segments=Nmax + 1)[:Nmax]
+                                          num_segments=Nb + 1)[:Nb]
                 eta_next = eta[x["rest_full"]] - seg
                 eta_next = jnp.concatenate(
                     [eta_next, jnp.zeros((1, B), dtype=dt)])
                 return eta_next, eta_E
 
             eta, eta_Es = jax.lax.scan(down, eta, xs)
+            eta_Es_l.append(eta_Es)
 
         nb = plan.n_bottom
         eta_b = eta[:nb].reshape(nb * B)
@@ -669,28 +697,34 @@ class IncrementalCholesky:
             stores["L"], eta_b * stores["s"], lower=True)
         xb = stores["s"] * jax.scipy.linalg.solve_triangular(
             stores["L"].T, y, lower=False)
-        x = jnp.zeros((Nmax + 1, B), dtype=dt)
+        x = jnp.zeros((nb + 1, B), dtype=dt)
         x = x.at[:nb].set(xb.reshape(nb, B))
 
-        if xs is not None:
-            def up(x, inp):
+        for bi in range(len(self._solve_buckets) - 1, -1, -1):
+            bk = self._solve_buckets[bi]
+            Nb, nE_max, xs = bk["Nb"], bk["nE_max"], bk["xs"]
+            # widen the carry from the deeper bucket's numbering to this one
+            pad_rows = Nb + 1 - x.shape[0]
+            if pad_rows > 0:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad_rows, B), dtype=dt)])
+
+            def up(x, inp, Nb=Nb, nE_max=nE_max):
                 xcon, eta_E = inp
                 corr = planar.bmv_At(W[xcon["u_w"]], x[xcon["u_rest"]], B, B)
                 x_e = planar.bmv(C[xcon["c_g"]], eta_E, B, B) - \
                     jax.ops.segment_sum(corr, xcon["u_elim"],
-                                        num_segments=self.nE_max + 1)[
-                                            :self.nE_max]
-                xk = jnp.zeros((Nmax + 1, B), dtype=dt)
-                xk = xk.at[xcon["rest_full"]].set(x[:Nmax])
+                                        num_segments=nE_max + 1)[:nE_max]
+                xk = jnp.zeros((Nb + 1, B), dtype=dt)
+                xk = xk.at[xcon["rest_full"]].set(x[:Nb])
                 xk = xk.at[xcon["elim_full"]].set(
                     jnp.concatenate(
-                        [x_e,
-                         jnp.zeros((Nmax - self.nE_max, B), dtype=dt)]))
+                        [x_e, jnp.zeros((Nb - nE_max, B), dtype=dt)]))
                 return xk, None
 
-            x, _ = jax.lax.scan(up, x, (xs, eta_Es), reverse=True)
+            x, _ = jax.lax.scan(up, x, (xs, eta_Es_l[bi]), reverse=True)
 
-        return x[:Nmax] * stores["sv"]
+        return x[:self.Nmax] * stores["sv"]
 
     @_full_f32
     def _solve_only_impl(self, stores, eta0):

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from slam_plus_plus_tpu.assembly.assembler import Assembler
 from slam_plus_plus_tpu.config import SolverConfig
 from slam_plus_plus_tpu.graph.system import GraphSystem
-from slam_plus_plus_tpu.models.types import EDGE_TYPES
+from slam_plus_plus_tpu.models.types import EDGE_TYPES, VERTEX_TYPES
 from slam_plus_plus_tpu.linalg.block_cholesky import BlockCholeskySolver
 
 
@@ -97,12 +97,17 @@ class FastLSolver:
             from slam_plus_plus_tpu.linalg.incremental_cholesky import (
                 IncrementalCholesky)
             self.inc = IncrementalCholesky(self.chol)
+            self._build_fused1()
         else:
             self.inc = None
             # unscaled stores: omega kernel still wants an outer array
             self._ones_outer = jnp.ones((len(asm.pp_rows), asm.Bp * asm.Bp),
                                         dtype=asm.dtype)
         self.stats: Dict[str, float] = {}
+        # in-loop marginals maintenance (MarginalsPolicy-driven)
+        self.marginals_trace: List[str] = []
+        self._sigma_diag = None
+        self._sigma_pending: List[tuple] = []
 
     # ------------------------------------------------------------------
 
@@ -146,6 +151,35 @@ class FastLSolver:
 
         # diag H0 position per class slot (for activation pivot removal)
         self._diag_pos = self._inv_input_perm[asm.pp_diag_ids]
+
+        # deterministic solve schedule (mirrors run()'s scheduling exactly):
+        # per solve point, the pending batch's level-0 dirty positions.
+        # run() uses it to compute the NEXT step's reachability walk while
+        # the device executes the current step (host/device pipelining).
+        self._sched: Dict[int, list] = {}
+        pending_meta: List[tuple] = []
+        outstanding = False
+        last_nap = 0
+        started = False
+        for si, step in enumerate(self.steps):
+            nm = np.zeros(EDGE_TYPES[step["ename"]].arity)
+            pending_meta.append((step["ename"], step["li"], nm))
+            outstanding = outstanding or step["closure"]
+            if step["n_active"] - last_nap < self.every_n:
+                continue
+            last_nap = step["n_active"]
+            if not started:
+                started = True
+                pending_meta = []
+            if not outstanding:
+                continue
+            outstanding = False
+            if pending_meta:
+                self._sched[si] = self._pending_pos(pending_meta)
+                pending_meta = []
+        order = sorted(self._sched)
+        self._next_solve = {si: order[i + 1] if i + 1 < len(order) else None
+                            for i, si in enumerate(order)}
 
     # edges of one type processed per omega dispatch; pending batches larger
     # than this are chunked (still the SAME compiled program)
@@ -218,6 +252,35 @@ class FastLSolver:
 
             self._omega_fns[plan.name] = jax.jit(omega,
                                                  donate_argnums=(2, 3))
+            self._omega_bodies = getattr(self, "_omega_bodies", {})
+            self._omega_bodies[plan.name] = omega
+
+    def _build_fused1(self) -> None:
+        """Single-dispatch solve point (the dominant every_n=1 case: ONE
+        omega chunk of ONE edge type): omega + dirty refactorization +
+        bottom re-Cholesky + solve traced as one program.  The legacy
+        omega-then-step pair remains the fallback for multi-chunk /
+        multi-type pending batches."""
+        inc = self.inc
+        self._fused1_fns = {}
+        for plan in self.asm.plans:
+            body = self._omega_bodies[plan.name]
+
+            def fused1(stores, eta0, states, edge_data, eidx, new_mask,
+                       valid, omega_seg, buf, bot_sel, bot_h, body=body):
+                with jax.default_matmul_precision("highest"):
+                    H, eta0, scaled = body(
+                        states, edge_data, stores["H"], eta0,
+                        stores["outer0"], eidx, new_mask, valid)
+                    inner = dict(stores)
+                    inner["H"] = H
+                    out = inc._dirty_scan(inner, scaled, omega_seg, buf,
+                                          bot_sel, bot_h)
+                    dx = inc._solve_scan(out, eta0)
+                    return out, eta0, dx, jnp.linalg.norm(dx)
+
+            self._fused1_fns[plan.name] = jax.jit(
+                fused1, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
 
@@ -258,22 +321,17 @@ class FastLSolver:
                       "factor": self.chol._factor_jit(bs.pp_blocks)}
         return stores, eta0
 
-    def _apply_pending(self, stores, eta0, states, pending):
-        """Compute + apply omega deltas for the pending edges in per-type
-        padded batches (one dispatch per OMEGA_EDGE_CAP chunk); returns
-        (eta0, level-0 dirty positions (host), delta values (device list))."""
-        asm = self.asm
+    def _pending_chunks(self, pending):
+        """Deterministic per-type padded chunking of a pending batch
+        (shared by the omega dispatch and the pipelined walk scheduler)."""
         cap = self.OMEGA_EDGE_CAP
-        outer0 = (stores["outer0"] if self.inc is not None
-                  else self._ones_outer)
         by_type: Dict[str, list] = {}
         for (en, el, nm) in pending:
             by_type.setdefault(en, []).append((el, nm))
-        pos_l, val_l = [], []
+        out = []
         for en, items in by_type.items():
             els = np.array([el for el, _ in items], dtype=np.int64)
             nms = np.array([nm for _, nm in items], dtype=np.float64)
-            pos_meta, _sw = self._omega_meta[en]
             for lo in range(0, len(els), cap):
                 chunk = els[lo:lo + cap]
                 nmc = nms[lo:lo + cap]
@@ -284,16 +342,38 @@ class FastLSolver:
                     # already dirty, so the padding adds nothing to the walk
                     chunk = np.concatenate(
                         [chunk, np.full(npad, chunk[0], dtype=np.int64)])
-                    nmc = np.concatenate([nmc, np.zeros((npad,) + nms.shape[1:])])
+                    nmc = np.concatenate(
+                        [nmc, np.zeros((npad,) + nms.shape[1:])])
                     valid[len(els) - lo:] = 0.0
-                stores["H0"], eta0, scaled = self._omega_fns[en](
-                    states, asm.edge_data, stores["H0"], eta0, outer0,
-                    jnp.asarray(chunk),
-                    jnp.asarray(nmc, dtype=asm.dtype),
-                    jnp.asarray(valid, dtype=asm.dtype))
-                # host positions in the kernel's C-major order
-                pos_l.append(np.stack([p[chunk] for p in pos_meta]).reshape(-1))
-                val_l.append(scaled)
+                out.append((en, chunk, nmc, valid))
+        return out
+
+    def _pending_pos(self, pending):
+        """Level-0 dirty pair positions for a pending batch (host only)."""
+        pos_l = []
+        for (en, chunk, _nmc, _valid) in self._pending_chunks(pending):
+            pos_meta, _sw = self._omega_meta[en]
+            pos_l.append(np.stack([p[chunk] for p in pos_meta]).reshape(-1))
+        return pos_l
+
+    def _apply_pending(self, stores, eta0, states, pending):
+        """Compute + apply omega deltas for the pending edges in per-type
+        padded batches (one dispatch per OMEGA_EDGE_CAP chunk); returns
+        (eta0, level-0 dirty positions (host), delta values (device list))."""
+        asm = self.asm
+        outer0 = (stores["outer0"] if self.inc is not None
+                  else self._ones_outer)
+        pos_l, val_l = [], []
+        for (en, chunk, nmc, valid) in self._pending_chunks(pending):
+            pos_meta, _sw = self._omega_meta[en]
+            stores["H0"], eta0, scaled = self._omega_fns[en](
+                states, asm.edge_data, stores["H0"], eta0, outer0,
+                jnp.asarray(chunk),
+                jnp.asarray(nmc, dtype=asm.dtype),
+                jnp.asarray(valid, dtype=asm.dtype))
+            # host positions in the kernel's C-major order
+            pos_l.append(np.stack([p[chunk] for p in pos_meta]).reshape(-1))
+            val_l.append(scaled)
         if self.inc is not None:
             # the omega kernel donated the flat H buffer; re-sync the alias
             stores["H"] = stores["H0"]
@@ -315,6 +395,102 @@ class FastLSolver:
         return dx, jnp.linalg.norm(dx)
 
     # ------------------------------------------------------------------
+    # marginals maintained INSIDE the incremental loop
+    # (reference: the lambda solver recomputes/updates marginals after
+    # convergence and incrementally from omega —
+    # include/slam/Marginals.h:5224, NonlinearSolver_Lambda.h:670-705)
+    # ------------------------------------------------------------------
+
+    def _sigma_recompute(self, stores):
+        """Recurrent sparse recovery from the MAINTAINED factor (the
+        formerly-dead marginals_from_stores path): Sigma on the fill
+        pattern, block diagonal extracted per vertex."""
+        Sig = self.chol.marginals_from_stores(stores, self.inc)
+        self._sigma_diag = Sig[jnp.asarray(self.chol.plan.diag_pos0)]
+        self.marginals_trace.append("recalculate")
+        return self._sigma_diag
+
+    def _build_G(self, pend, states):
+        """Square-root omega columns for a pending batch: edge jacobian
+        columns (weight +1) + activation placeholder-pivot removals
+        (weight -1).  Returns (G [Np*Bp, k], D [k] signs)."""
+        from slam_plus_plus_tpu.marginals.covariance import (
+            IncrementalMarginals)
+        asm = self.asm
+        cols, signs = [], []
+        by_type: Dict[str, list] = {}
+        act_cols = []
+        for (en, el, nm) in pend:
+            by_type.setdefault(en, []).append(el)
+            if np.any(nm):
+                et = EDGE_TYPES[en]
+                for slot in np.flatnonzero(nm):
+                    cs = int(asm.edge_data[en]["slot_cslot"][slot][el])
+                    d = min(asm.Bp,
+                            VERTEX_TYPES[et.vertex_types[slot]].tangent_dim)
+                    act_cols.append((cs, d))
+        for en, els in by_type.items():
+            G = IncrementalMarginals.omega_sqrt_for_edges(asm, states, en,
+                                                          els)
+            cols.append(G)
+            signs.extend([1.0] * G.shape[1])
+        if act_cols:
+            n = asm.Np * asm.Bp
+            cols_np = np.zeros((n, sum(d for _c, d in act_cols)))
+            j = 0
+            for (cs, d) in act_cols:
+                for dd in range(d):
+                    cols_np[cs * asm.Bp + dd, j] = 1.0
+                    j += 1
+            cols.append(jnp.asarray(cols_np, dtype=asm.dtype))
+            signs.extend([-1.0] * cols_np.shape[1])
+        G = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+        return G, jnp.asarray(np.array(signs), dtype=asm.dtype)
+
+    def _sigma_update(self, stores, G, D):
+        """Woodbury diag update through the CURRENT maintained factor.
+
+        Because the factor already includes omega, the correction uses the
+        *post-update* solve X' = Sigma' G:
+            Sigma'_diag = Sigma_diag - diag(X' (D - G^T X')^-1 X'^T)
+        (derived from Update_BlockDiagonalMarginals_FBS_ExOmega's Woodbury
+        with the stale/fresh roles exchanged; D = +/-1 signs handles the
+        activation downdates exactly)."""
+        k = int(G.shape[1])
+        key = ("sigupd", k)
+        if not hasattr(self, "_sig_jits"):
+            self._sig_jits = {}
+        if key not in self._sig_jits:
+            inc = self.inc
+            asm = self.asm
+
+            def upd(core, sigma_diag, G, D):
+                def one(col):
+                    return inc._solve_scan(
+                        core, col.reshape(asm.Np, asm.Bp)).reshape(-1)
+                with jax.default_matmul_precision("highest"):
+                    X = jax.vmap(one, in_axes=1, out_axes=1)(G)
+                    M = jnp.linalg.inv(jnp.diag(D) - G.T @ X)
+                    Xb = X.reshape(asm.Np, asm.Bp, k)
+                    corr = jnp.einsum("nik,kl,njl->nij", Xb, M,
+                                      Xb).reshape(asm.Np, asm.Bp * asm.Bp)
+                    return sigma_diag - corr
+
+            self._sig_jits[key] = jax.jit(upd)
+        core = {kk: stores[kk] for kk in ("C", "W", "L", "s", "sv")}
+        self._sigma_diag = self._sig_jits[key](core, self._sigma_diag, G, D)
+        self.marginals_trace.append("update")
+        return self._sigma_diag
+
+    def sigma_diag(self):
+        """Maintained per-vertex covariance diagonal [Np, Bp, Bp] (only
+        when config.marginals.enabled)."""
+        if self._sigma_diag is None:
+            return None
+        return np.asarray(self._sigma_diag).reshape(self.asm.Np, self.asm.Bp,
+                                                    self.asm.Bp)
+
+    # ------------------------------------------------------------------
 
     def run(self, verbose: bool = False):
         """Replay all edges with FastL semantics; returns (chi2, iters)."""
@@ -325,12 +501,14 @@ class FastLSolver:
         counts = {n: 0 for n in asm.edge_data}
 
         stores, eta0 = None, None
+        prepared: Dict[int, object] = {}   # pipelined prepare_host results
         lin_dirty = True   # report with one-time dx unless a push lands last
         outstanding = False
         pending: List[tuple] = []   # (ename, li, new_mask)
         n_since_solve = 0
         last_nap = 0
         total_iters = 0
+        n_solves = 0
         n_pushes = 0
         n_full = 0
         n_steps_applied = 0
@@ -367,28 +545,70 @@ class FastLSolver:
             # batched dispatch gives bit-identical results to per-step
             # application at a fraction of the dispatches) -----------------
             fused_dx = None
+            if pending and self.config.marginals.enabled:
+                self._sigma_pending.extend(pending)
             if pending:
-                eta0, dirty_pos, dirty_vals = self._apply_pending(
-                    stores, eta0, states, pending)
-                omega_since_full += len(pending)
-                pending.clear()
-                if (self.full_refresh_interval and
-                        omega_since_full >= self.full_refresh_interval):
-                    stores = self._refactor(stores)
-                    omega_since_full = 0
-                    n_full += 1
-                elif self.inc is not None:
-                    # ONE fused dispatch: dirty refactorization + solve
-                    res = self.inc.step(stores, eta0, dirty_pos, dirty_vals)
-                    if res is None:   # dirty-capacity overflow
-                        stores = self._refactor(stores)
-                        n_full += 1
-                    else:
-                        stores, fdx, fnorm = res
-                        fused_dx = (fdx, fnorm)
+                n_pending = len(pending)
+                chunks = (self._pending_chunks(pending)
+                          if self.inc is not None else None)
+                full_due = (self.full_refresh_interval and
+                            omega_since_full + n_pending >=
+                            self.full_refresh_interval)
+                hp = (prepared.pop(si, self.inc._NOT_PREPARED)
+                      if self.inc is not None else None)
+                if self.inc is not None and hp is self.inc._NOT_PREPARED:
+                    hp = self.inc.prepare_host(self._pending_pos(pending))
+                if (self.inc is not None and not full_due and
+                        len(chunks) == 1 and hp is not None):
+                    # THE fast path (every_n=1): omega + dirty
+                    # refactorization + solve in ONE dispatch
+                    en, chunk, nmc, valid = chunks[0]
+                    seg, buf, bot_sel, bot_h = hp
+                    dt = asm.dtype
+                    inner = {k: stores[k] for k in
+                             ("H", "C", "W", "P", "dense", "L", "s", "sv",
+                              "outer0")}
+                    out, eta0, fdx, fnorm = self._fused1_fns[en](
+                        inner, eta0, states, asm.edge_data,
+                        jnp.asarray(chunk), jnp.asarray(nmc, dtype=dt),
+                        jnp.asarray(valid, dtype=dt), jnp.asarray(seg),
+                        jnp.asarray(buf), jnp.asarray(bot_sel),
+                        jnp.asarray(bot_h))
+                    stores.update(out)
+                    stores["H0"] = out["H"]
+                    fused_dx = (fdx, fnorm)
+                    pending.clear()
+                    omega_since_full += n_pending
                 else:
-                    stores = self._refactor(stores)
+                    eta0, dirty_pos, dirty_vals = self._apply_pending(
+                        stores, eta0, states, pending)
+                    omega_since_full += n_pending
+                    pending.clear()
+                    if full_due:
+                        stores = self._refactor(stores)
+                        omega_since_full = 0
+                        n_full += 1
+                    elif self.inc is not None:
+                        res = self.inc.step(stores, eta0, dirty_pos,
+                                            dirty_vals, host_packed=hp)
+                        if res is None:   # dirty-capacity overflow
+                            stores = self._refactor(stores)
+                            n_full += 1
+                        else:
+                            stores, fdx, fnorm = res
+                            fused_dx = (fdx, fnorm)
+                    else:
+                        stores = self._refactor(stores)
                 n_steps_applied += 1
+                # pipelining: the device is executing the step we just
+                # dispatched — walk the NEXT solve point's reachability now
+                # so its host half is free
+                if self.inc is not None:
+                    nxt = self._next_solve.get(si)
+                    if nxt is not None and nxt not in prepared:
+                        prepared[nxt] = self.inc.prepare_host(
+                            self._sched[nxt])
+            pushed_here = False
             for it in range(self.max_iterations):
                 total_iters += 1
                 if it == 0 and fused_dx is not None:
@@ -409,11 +629,34 @@ class FastLSolver:
                 states = asm._update_jit(
                     states, dx, jnp.zeros((1, asm.Bl), dtype=asm.dtype))
                 n_pushes += 1
+                pushed_here = True
                 lin_dirty = False
                 stores, eta0 = self._init_stores(states, dict(counts),
                                                  step["n_active"])
                 n_full += 1
                 omega_since_full = 0
+
+            # --- marginals maintained in the loop (MarginalsPolicy):
+            # after a push the linearization moved -> recurrent recompute
+            # from the maintained factor; omega-only solve points get the
+            # exact Woodbury diag update; decisions are logged for the
+            # update-vs-recalculate evidence (reference
+            # NonlinearSolver_Lambda.h:670-705, Marginals.h:5224)
+            mp = self.config.marginals
+            if (mp.enabled and self.inc is not None and
+                    n_solves % max(mp.increment_every, 1) == 0):
+                if (pushed_here or self._sigma_diag is None or
+                        not mp.relinearize_update):
+                    self._sigma_recompute(stores)
+                    self._sigma_pending.clear()
+                elif self._sigma_pending:
+                    G, D = self._build_G(self._sigma_pending, states)
+                    if G.shape[1] <= 96:
+                        self._sigma_update(stores, G, D)
+                    else:
+                        self._sigma_recompute(stores)
+                    self._sigma_pending.clear()
+            n_solves += 1
 
         # trailing pending edges (closure edges with no new vertex): refresh
         # the factorization so the final solution includes them

@@ -60,3 +60,73 @@ def test_fastl_golden_landmarks(tmp_path, refresh):
     assert iters == 499
     assert chi2 == pytest.approx(17.38, abs=0.01)
     assert inc.stats["pushes"] == 1
+
+
+def test_fastl_inloop_marginals(tmp_path):
+    """Marginals maintained INSIDE the incremental loop (reference
+    NonlinearSolver_Lambda.h:670-705 + Marginals.h:5224): omega-only solve
+    points get the exact Woodbury diag update through the maintained
+    factor, pushes trigger the recurrent recompute, and every updated
+    Sigma must match a fresh recurrent recovery from the same stores
+    (which itself is checked against the dense lambda^-1 oracle)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.config import SolverConfig, MarginalsPolicy
+
+    poses, edges = D.make_manhattan_2d(n_poses=300, seed=92, loop_prob=0.3)
+    p = str(tmp_path / "mm.txt")
+    D.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    cfg = SolverConfig(marginals=MarginalsPolicy(enabled=True))
+    inc = FastLSolver(s, every_n=1, config=cfg)
+
+    checked = {"n": 0, "worst": 0.0}
+    orig_update = inc._sigma_update
+
+    def checking_update(stores, G, D_):
+        out = orig_update(stores, G, D_)
+        ref = inc._last_check_ref = np.asarray(
+            inc.chol.marginals_from_stores(stores, inc.inc)[
+                np.asarray(inc.chol.plan.diag_pos0)])
+        got = np.asarray(out)
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-12)
+        checked["n"] += 1
+        checked["worst"] = max(checked["worst"], err)
+        return out
+
+    inc._sigma_update = checking_update
+    chi2, iters = inc.run()
+
+    assert "update" in inc.marginals_trace
+    assert "recalculate" in inc.marginals_trace
+    assert checked["n"] >= 5
+    assert checked["worst"] < 1e-6, checked
+
+    # oracle: the recurrent recovery itself vs the dense lambda^-1 built
+    # from the SAME maintained level-0 blocks
+    K0 = (int(inc.inc.off_H[1]) if inc.chol.plan.levels
+          else inc.inc.off_H_bottom + inc.inc.KB)
+    # _sigma_diag is valid for the stores at the last in-loop refresh; use
+    # a fresh recompute against the final stores for the oracle comparison
+    stores = None  # stores are internal to run(); rebuild from system state
+    from slam_plus_plus_tpu.assembly.assembler import Assembler
+    asm = inc.asm
+    states = asm.snapshot_states(inc.system)
+    counts = {n_: st.n for n_, st in inc.system.edge_stores.items()}
+    nact = sum(inc.system.vertex_stores[t].n
+               for t in inc.system.vertex_stores)
+    stores2, _eta = inc._init_stores(states, counts, nact)
+    Sig = np.asarray(inc.chol.marginals_from_stores(stores2, inc.inc))
+    diag = Sig[np.asarray(inc.chol.plan.diag_pos0)]
+
+    from slam_plus_plus_tpu.linalg.dense import scatter_dense
+    bs = asm.assemble_active(states, counts, nact, 0)
+    A = np.asarray(scatter_dense(asm.pp_rows, asm.pp_cols, bs.pp_blocks,
+                                 asm.Np, asm.Bp))
+    Sig_oracle = np.linalg.inv(A)
+    Np, Bp = asm.Np, asm.Bp
+    for v in range(0, Np, 37):
+        blk = Sig_oracle[v * Bp:(v + 1) * Bp, v * Bp:(v + 1) * Bp]
+        got = diag[v].reshape(Bp, Bp)
+        assert np.allclose(got, blk, rtol=1e-6, atol=1e-9 * abs(blk).max() +
+                           1e-12), v
