@@ -75,6 +75,13 @@ def build_argparser():
     # Main.h:1684-1685)
     p.add_argument("-dsi", "--dump-each-step", default=None,
                    metavar="DIR", help="write solution_NNNN.txt per solve")
+    # multi-host (multi-process) runtime: jax.distributed wiring.  The
+    # reference has no distributed backend (SURVEY §2.3 P6); this is the
+    # TPU build's added capability (parallel/multihost.py).
+    p.add_argument("--dist-coord", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address")
+    p.add_argument("--dist-nprocs", type=int, default=None)
+    p.add_argument("--dist-procid", type=int, default=None)
     return p
 
 
@@ -85,6 +92,14 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+
+    if (args.dist_coord or args.dist_nprocs or
+            __import__("os").environ.get("SLAMPP_COORD")):
+        from slam_plus_plus_tpu.parallel import multihost
+        multihost.initialize(args.dist_coord, args.dist_nprocs,
+                             args.dist_procid)
+        if not args.silent:
+            print(multihost.process_summary())
 
     # -rmut / -rmb short-circuit before any dataset work (reference
     # src/slam_app/Main.cpp:91-104)

@@ -631,3 +631,42 @@ def make_ba_scene_large(n_cams=871, n_points=100000, obs_per_point=8,
     v = f * pc[:, 1] / pc[:, 2] + cy + rng.normal(0, noise_px, len(pid))
     obs = list(zip(pid.tolist(), cid.tolist(), u.tolist(), v.tolist()))
     return cams, points, obs
+
+
+def write_g2o_ba_mixed(path, cams, points, mono_obs, stereo_obs,
+                       baseline=0.1, point_noise=0.05, seed=1):
+    """Mixed BA file: the first half of the cameras are monocular with a
+    SHARED intrinsics vertex (ternary EDGE_PROJECT_P2MCI), the second half
+    are stereo VERTEX_SCAM (EDGE_PROJECT_P2SC), all observing the same
+    VERTEX_XYZ landmarks — the P2CI + stereo mixed-scene shape the sharded
+    BA generality tests exercise (reference types BA_Types.h:562,705)."""
+    rng = np.random.default_rng(seed)
+    n_cams = len(cams)
+    n_mono = n_cams // 2
+    fx, fy, cx, cy, d = (cams[0][2], cams[0][3], cams[0][4], cams[0][5],
+                         cams[0][6])
+    with open(path, "w") as f:
+        for c, (pos, q, *_rest) in enumerate(cams[:n_mono]):
+            f.write(f"VERTEX_CAM {c} " +
+                    " ".join(f"{v:.10f}" for v in pos) + " " +
+                    " ".join(f"{v:.10f}" for v in q) +
+                    f" {fx} {fy} {cx} {cy} {d}\n")
+        for c, (pos, q, *_rest) in enumerate(cams[n_mono:]):
+            f.write(f"VERTEX_SCAM {n_mono + c} " +
+                    " ".join(f"{v:.10f}" for v in pos) + " " +
+                    " ".join(f"{v:.10f}" for v in q) +
+                    f" {fx} {fy} {cx} {cy} {d} {baseline}\n")
+        intr_id = n_cams
+        f.write(f"VERTEX_INTRINSICS {intr_id} {fx} {fy} {cx} {cy} {d}\n")
+        for p, pt in enumerate(points):
+            noisy = pt + rng.normal(0, point_noise, 3)
+            f.write(f"VERTEX_XYZ {intr_id + 1 + p} " +
+                    " ".join(f"{v:.10f}" for v in noisy) + "\n")
+        for (pid, cid, u, v) in mono_obs:
+            if cid < n_mono:
+                f.write(f"EDGE_PROJECT_P2MCI {intr_id + 1 + pid} {cid} "
+                        f"{intr_id} {u:.10f} {v:.10f} 1 0 1\n")
+        for (pid, cid, ul, vl, ur) in stereo_obs:
+            if cid >= n_mono:
+                f.write(f"EDGE_PROJECT_P2SC {intr_id + 1 + pid} {cid} "
+                        f"{ul:.10f} {vl:.10f} {ur:.10f} 1 0 0 1 0 1\n")

@@ -68,11 +68,16 @@ class ShardedBAOptimizer:
         if asm.pl_uniform is None or not asm.pl_uniform:
             raise ValueError("sharded BA requires the uniform edge layout "
                              "(landmark problem, bounded padding)")
-        l_types = {t for t in asm.type_names if asm.type_class[t] == "l"}
-        if len(l_types) != 1:
-            raise NotImplementedError("sharded BA: one landmark type")
-        self.l_type = l_types.pop()
-        lvt = VERTEX_TYPES[self.l_type]
+        # landmark TYPES: one sharded state channel per type (the uniform
+        # layout already spans the full class-slot space per plan, so the
+        # union [Nl]-indexed arrays below are type-agnostic; only the state
+        # vector width and the ⊞ differ per type)
+        self.l_types = sorted(t for t in asm.type_names
+                              if asm.type_class[t] == "l")
+        if not self.l_types:
+            raise ValueError("sharded BA requires a landmark class")
+        # primary type kept for backward compat with existing callers
+        self.l_type = self.l_types[0]
         dt = asm.dtype
 
         Nl = asm.Nl
@@ -88,14 +93,18 @@ class ShardedBAOptimizer:
             return jax.device_put(jnp.asarray(arr_np), sh_lm)
 
         # ---- sharded landmark state (class-slot order, padded) ----------
-        ldim = lvt.state_dim
+        ldim = max(VERTEX_TYPES[t].state_dim for t in self.l_types)
+        self.l_state_dim = ldim
         xyz = np.zeros((Nl_pad, ldim))
-        st = system.vertex_stores[self.l_type]
+        type_rows = {t: np.zeros(Nl_pad) for t in self.l_types}
         for c, (tn, li) in enumerate(asm.l_order):
-            xyz[c] = st.data[li]
+            sd = VERTEX_TYPES[tn].state_dim
+            xyz[c, :sd] = system.vertex_stores[tn].data[li]
+            type_rows[tn][c] = 1.0
         self._l_locals = np.array([li for (_t, li) in asm.l_order])
+        self._l_typenames = [t for (t, _li) in asm.l_order]
         self.xyz = put_lm(np.asarray(xyz, dtype=np.float64))
-        self.l_tangent = lvt.tangent_dim
+        self._type_rows = {t: put_lm(type_rows[t]) for t in self.l_types}
         l_mask = np.zeros((Nl_pad, Bl))
         l_mask[:Nl] = asm.l_mask[:Nl]
         self._l_mask = put_lm(np.asarray(l_mask, dtype=np.float64))
@@ -121,8 +130,10 @@ class ShardedBAOptimizer:
                 return np.pad(x, widths, constant_values=fill)
 
             lslot = plan.slot_class.index("l")
+            l_sd = VERTEX_TYPES[
+                EDGE_TYPES[plan.name].vertex_types[lslot]].state_dim
             entry = dict(
-                name=plan.name, M=M, lslot=lslot,
+                name=plan.name, M=M, lslot=lslot, l_sd=l_sd,
                 z=put_lm(padE(data["z"])),
                 info=put_lm(padE(data["info"])),   # zero-info padding
                 slot_local=[None if k == lslot else put_lm(padE(sl))
@@ -150,6 +161,7 @@ class ShardedBAOptimizer:
         self._tperm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
 
         in_specs = (P(), P("lm"), P("lm"),
+                    jax.tree.map(lambda _: P("lm"), self._type_rows),
                     jax.tree.map(lambda _: P("lm"), self._tree_of_plans()))
         out_specs = (P(), P("lm"), P())
         self._step = jax.jit(jax.shard_map(
@@ -190,13 +202,13 @@ class ShardedBAOptimizer:
 
     # ---- the fused distributed step ------------------------------------
 
-    def _step_fn(self, cam_states, xyz_local, l_mask_local, plan_arrays):
+    def _step_fn(self, cam_states, xyz_local, l_mask_local, type_rows,
+                 plan_arrays):
         asm = self.asm
         Np, Bp, Bl = asm.Np, asm.Bp, asm.Bl
         nred = self.nred
         dt = asm.dtype
         G = self.G
-        lvt = VERTEX_TYPES[self.l_type]
         xyz_c = xyz_local.astype(dt)
 
         pp = jnp.zeros((asm.Kpp, Bp * Bp), dtype=dt)
@@ -216,9 +228,10 @@ class ShardedBAOptimizer:
             sl_i = 0
             for k, t in enumerate(et.vertex_types):
                 if k == lslot:
+                    sd = e["l_sd"]
                     gathered.append(jnp.broadcast_to(
-                        xyz_c[:, None, :], (G, M, xyz_c.shape[1])
-                    ).reshape(E_loc, xyz_c.shape[1]))
+                        xyz_c[:, None, :sd], (G, M, sd)
+                    ).reshape(E_loc, sd))
                     continue
                 st = cam_states[t]
                 sl = arrs["slot_local"][sl_i]
@@ -328,8 +341,18 @@ class ShardedBAOptimizer:
             _cls, cslot = asm.state_meta[t]
             delta = dx_p[cslot][:, :vt.tangent_dim]
             new_cam[t] = jax.vmap(vt.boxplus)(cam_states[t], delta)
-        new_xyz = jax.vmap(lvt.boxplus)(
-            xyz_c, dx_l[:, :lvt.tangent_dim]).astype(xyz_local.dtype)
+        # per-type ⊞ on the sharded landmark channel (rows selected by the
+        # type-membership masks; widths padded back to the union layout)
+        new_xyz = xyz_c
+        for t in self.l_types:
+            vt = VERTEX_TYPES[t]
+            upd = jax.vmap(vt.boxplus)(xyz_c[:, :vt.state_dim],
+                                       dx_l[:, :vt.tangent_dim])
+            if vt.state_dim < xyz_c.shape[1]:
+                upd = jnp.concatenate(
+                    [upd, xyz_c[:, vt.state_dim:]], axis=1)
+            new_xyz = jnp.where(type_rows[t][:, None] > 0, upd, new_xyz)
+        new_xyz = new_xyz.astype(xyz_local.dtype)
         return new_cam, new_xyz, chi2
 
     # ---- public ---------------------------------------------------------
@@ -348,6 +371,7 @@ class ShardedBAOptimizer:
         chi2 = None
         for _ in range(max_iterations):
             cam, xyz, chi2 = self._step(cam, xyz, self._l_mask,
+                                        self._type_rows,
                                         self._tree_of_plans())
         self.xyz = xyz
         self._last_cam = cam
@@ -355,9 +379,10 @@ class ShardedBAOptimizer:
 
     def writeback(self):
         xyz_np = np.asarray(self.xyz)[:self.asm.Nl]
-        st = self.system.vertex_stores[self.l_type]
         for c, li in enumerate(self._l_locals):
-            st.states[li] = xyz_np[c]
+            t = self._l_typenames[c]
+            sd = VERTEX_TYPES[t].state_dim
+            self.system.vertex_stores[t].states[li] = xyz_np[c, :sd]
         for t, arr in getattr(self, "_last_cam", {}).items():
             self.system.vertex_stores[t].states[:self.system.vertex_stores[t].n] = \
                 np.asarray(arr, dtype=np.float64)

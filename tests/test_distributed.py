@@ -144,3 +144,40 @@ def test_distributed_schur_flops_scaling(tmp_path):
     eff = {n: flops[1] / (n * flops[n]) for n in (2, 4)}
     assert eff[2] >= 0.7, (flops, eff)
     assert eff[4] >= 0.5, (flops, eff)
+
+
+@needs_devices
+def test_distributed_pose_graph_cholesky(tmp_path):
+    """The sharded MIS-Schur factorization (W slices all_gathered, fill
+    products psum'd per level) must reproduce the single-device factor's
+    SOLVE bitwise-closely — the distributed pose-graph path of VERDICT r3
+    (reference role: the Schur products, LinearSolver_Schur.h:1744-1767,
+    sharded instead of single-node)."""
+    from slam_plus_plus_tpu.linalg.block_cholesky import BlockCholeskySolver
+    from slam_plus_plus_tpu.parallel import (DistributedBlockCholeskySolver,
+                                             make_edge_mesh)
+
+    poses, edges = D.make_manhattan_2d(n_poses=600, seed=31, loop_prob=0.3)
+    p = str(tmp_path / "m.txt")
+    D.write_g2o_2d(p, edges, poses)
+    system = parse_g2o(p)
+    asm = Assembler(system)
+    st = asm.snapshot_states(system)
+    bs = asm.assemble(st)
+
+    single = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp,
+                                 bottom=32)
+    mesh = make_edge_mesh(8)
+    dist = DistributedBlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np,
+                                          asm.Bp, mesh, bottom=32)
+    assert dist.n_levels == single.n_levels and dist.n_levels >= 3
+
+    dx1 = np.asarray(single.solve(bs.pp_blocks, bs.eta_p))
+    dx8 = np.asarray(dist.solve(bs.pp_blocks, bs.eta_p))
+    denom = max(np.abs(dx1).max(), 1e-12)
+    assert np.abs(dx1 - dx8).max() / denom < 1e-10
+
+    # factor artifacts replicated + reusable by the standard solve path
+    f = dist.factor(bs.pp_blocks)
+    dx8b = np.asarray(dist.solve_with_factor(f, bs.eta_p))
+    assert np.abs(dx1 - dx8b).max() / denom < 1e-10
