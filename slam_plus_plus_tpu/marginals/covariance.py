@@ -71,14 +71,38 @@ class Marginals:
         self.part = part
         self.gauge_jitter = gauge_jitter
         self._schur_mode = asm.Nl > 0 and asm.Kpl > 0
+        self._schur_sparse = False
         if self._schur_mode:
             from slam_plus_plus_tpu.linalg.schur import SchurSolver
-            self._schur = SchurSolver(asm, dense_reduced=True)
-            if asm.Np * asm.Bp > 20000:
-                raise NotImplementedError(
-                    "Schur-domain marginals densify the reduced system; "
-                    "for many-pose landmark SLAM use the pose-graph sparse "
-                    "recurrent path or request fewer parts")
+            nred = asm.Np * asm.Bp
+            # many-pose landmark systems (victoria-park/cityTrees class):
+            # densifying SC is O(nred^2) memory — route through the
+            # sparse-reduced SC + the recurrent recovery over its MIS-Schur
+            # factor instead (reference role: the recurrent formula,
+            # Marginals.h:1694, applied to the reduced camera system)
+            self._schur_sparse = (nred > 20000 or mode == "sparse_schur")
+            if self._schur_sparse:
+                self._schur = SchurSolver(
+                    asm, sparse_reduced_limit=min(20000, max(nred - 1, 1)))
+                sch = self._schur
+                assert sch.sparse_reduced
+                rc = sch._reduced_chol
+                inv_perm = np.empty(sch.Ksc, dtype=np.int64)
+                inv_perm[rc.plan.input_perm] = np.arange(sch.Ksc)
+                keys = np.asarray(sch._sc_rows) * asm.Np + \
+                    np.asarray(sch._sc_cols)
+                diag_keys = np.arange(asm.Np) * asm.Np + np.arange(asm.Np)
+                self._sc_diag_plan = jnp.asarray(
+                    inv_perm[np.searchsorted(keys, diag_keys)])
+                fill_dst = np.asarray(sch._fill_dst)
+                self._fill_dst_plan = jnp.asarray(inv_perm[fill_dst])
+                fill_pa = np.asarray(sch._fill_pa)
+                fill_pb = np.asarray(sch._fill_pb)
+                self._lm_seg = jnp.asarray(asm.pl_cols[fill_pa])
+                self._pair_offd = jnp.asarray(
+                    (fill_pa != fill_pb).astype(np.float64))
+            else:
+                self._schur = SchurSolver(asm, dense_reduced=True)
         else:
             self._schur = None
         self._sparse = None
@@ -135,6 +159,39 @@ class Marginals:
                 p_diag, l_diag, sigma if self.part == "full" else None)
 
         sch = self._schur
+        if self._schur_sparse:
+            # sparse-reduced SC + recurrent recovery over its factor: the
+            # >20k-dim landmark-marginals path.  Sigma_pp blocks needed for
+            # the landmark correction all lie on the SC pattern (pose pairs
+            # co-observing a landmark are exactly the SC fill pairs), so
+            # the recurrent recovery provides every block without
+            # densifying anything.
+            c_inv = planar.binv(bs.ll_blocks, Bl)
+            u = bs.pl_blocks
+            w = planar.bmm(u, c_inv[sch._pl_cols_dev], Bp, Bl, Bl)
+            sc = jnp.zeros((sch.Ksc, Bp * Bp), dtype=dt)
+            sc = sc.at[sch._pp_to_sc].set(bs.pp_blocks)
+            prod = planar.bmm_A_Bt(w[sch._fill_pa], u[sch._fill_pb],
+                                   Bp, Bl, Bp)
+            prod = jnp.where(sch._fill_flip[:, None],
+                             planar.btranspose(prod, Bp, Bp), prod)
+            sc = sc - jax.ops.segment_sum(prod, sch._fill_dst,
+                                          num_segments=sch.Ksc)
+            rc = sch._reduced_chol
+            f = rc._factor_impl(sc)
+            Sig = rc._marginals_impl(f)             # SC fill pattern, PLAN order
+            p_diag = Sig[self._sc_diag_plan]
+            # Sigma_l = C^-1 + sum over obs pairs  w_a^T Sigma_ab w_b
+            Sg = Sig[self._fill_dst_plan]           # stored (min,max) blocks
+            Sg = jnp.where(sch._fill_flip[:, None],
+                           planar.btranspose(Sg, Bp, Bp), Sg)
+            t1 = planar.bmm_At_B(w[sch._fill_pa], Sg, Bl, Bp, Bp)
+            t2 = planar.bmm(t1, w[sch._fill_pb], Bl, Bp, Bl)
+            t2 = t2 + (planar.btranspose(t2, Bl, Bl) *
+                       self._pair_offd[:, None].astype(dt))
+            corr = jax.ops.segment_sum(t2, self._lm_seg, num_segments=Nl)
+            l_diag = c_inv + corr
+            return MarginalsResult(p_diag, l_diag, None)
         if sch.panel_mode == "uniform":
             # gather-free panels (see SchurSolver._uniform_panels)
             c_inv, Ut, Wt = sch._uniform_panels(bs)
