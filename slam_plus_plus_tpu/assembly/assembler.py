@@ -93,6 +93,10 @@ class Assembler:
         self.dtype = dtype if dtype is not None else self.config.resolved_dtype()
         self._build_structure(system)
         self._build_device_plan(system)
+        import jax.numpy as _jnp
+        self._kernel_precision = ("highest" if (self.dtype == _jnp.float32 and
+                                                self.pl_uniform is None)
+                                  else None)
         self._assemble_jit = jax.jit(self._assemble_impl)
         self._chi2_jit = jax.jit(self._chi2_impl)
         self._update_jit = jax.jit(self._update_impl)
@@ -207,6 +211,9 @@ class Assembler:
                     M = max(Ms[i], 1)
                     lc = slot_cslot[lslot]
                     counts = np.bincount(lc, minlength=self.Nl)
+                    if not hasattr(self, "_uniform_counts"):
+                        self._uniform_counts = {}
+                    self._uniform_counts[ename] = counts
                     starts = np.concatenate([[0], np.cumsum(counts)])
                     order = np.argsort(lc, kind="stable")
                     ranks = np.arange(E) - starts[lc[order]]
@@ -228,6 +235,7 @@ class Assembler:
         # global key collection (order defines contribution concatenation)
         pp_contrib_keys: List[np.ndarray] = []
         pl_contrib_keys: List[np.ndarray] = []
+        pl_contrib_enames: List[str] = []
         plan_meta = []
         for ename, et, E, slot_local, slot_cslot, slot_class in raw_plans:
             pp_list, pl_list = [], []
@@ -254,6 +262,7 @@ class Assembler:
                             keys = ib * max(self.Nl, 1) + ia
                             pl_list.append((b, a, keys))
                         pl_contrib_keys.append(pl_list[-1][2])
+                        pl_contrib_enames.append(ename)
             plan_meta.append((ename, et, E, slot_local, slot_cslot, slot_class,
                               pp_list, pl_list))
 
@@ -268,13 +277,15 @@ class Assembler:
             # uniform layout: padded slots ARE the pl blocks, in contribution
             # order — no dedup, identity "reduction", zero blocks for dummies
             rows_l, cols_l, off = [], [], 0
-            for keys in pl_contrib_keys:
+            for ci, keys in enumerate(pl_contrib_keys):
                 n = len(keys)
                 rows_l.append((keys // max(self.Nl, 1)).astype(np.int64))
                 cols_l.append((keys % max(self.Nl, 1)).astype(np.int64))
                 M = n // self.Nl
                 self.pl_uniform.append(
-                    dict(offset=off, M=M, rows=rows_l[-1]))
+                    dict(offset=off, M=M, rows=rows_l[-1],
+                         counts=self._uniform_counts[
+                             pl_contrib_enames[ci]]))
                 off += n
             self.pl_rows = (np.concatenate(rows_l) if rows_l
                             else np.zeros(0, dtype=np.int64))
@@ -544,7 +555,24 @@ class Assembler:
 
         All block collections are PLANAR: pp [Kpp, Bp*Bp], pl [Kpl, Bp*Bl],
         ll [Nl, Bl*Bl] (see ops/planar.py for why).
+
+        Precision: on TPU the default f32 matmul rounds operands through
+        bf16 MXU passes — the per-edge J^T W J products then carry ~1e-2
+        relative error and (being two-pass products) lose exact block
+        symmetry, which a DEEP MIS-Schur elimination amplifies into an O(1)
+        subspace error (observed at w100K: 2.6% asymmetric, singular dense
+        bottom from an otherwise-correct descend).  Pose-graph layouts
+        (flat; the deep-elimination consumers) therefore pin full-f32
+        kernels; the uniform BA layout keeps the fast default — its dense
+        Schur path is robust to bf16-level lambda error (chi2 parity holds)
+        and assembly is on the critical 11 ms/iter path.
         """
+        if self._kernel_precision is not None:
+            with jax.default_matmul_precision(self._kernel_precision):
+                return self._edge_sums_body(states, edge_data)
+        return self._edge_sums_body(states, edge_data)
+
+    def _edge_sums_body(self, states, edge_data):
         dt = self.dtype
         Bp, Bl = self.Bp, self.Bl
         Np, Nl = max(self.Np, 1), max(self.Nl, 1)

