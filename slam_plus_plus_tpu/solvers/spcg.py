@@ -1,16 +1,20 @@
 """Preconditioned conjugate-gradient solver ("SPCG").
 
 Reference analogue: CNonlinearSolver_SPCG (reference
-include/slam/NonlinearSolver_SPCG.h:61) — research solver running conjugate
-gradients over the normal equations with a subgraph preconditioner.  TPU
-formulation: matrix-free CG over the planar block SpMV (one batched GEMM
-sweep per iteration — bandwidth-bound, no factorization at all), with a
-block-Jacobi preconditioner (the diagonal blocks of lambda, inverted with
-the planar batched inverse).  Block-Jacobi replaces the reference's
-spanning-tree subgraph: on TPU the preconditioner application must itself be
-a batched kernel, and the block diagonal is the natural choice; the
-spanning-tree variant adds a sequential triangular solve that does not map
-to the hardware.
+include/slam/NonlinearSolver_SPCG.h:19,61) — research solver running
+conjugate gradients over the normal equations with a SUBGRAPH
+preconditioner.  TPU formulation: matrix-free CG over the planar block SpMV
+(one batched GEMM sweep per iteration), preconditioned by
+
+  * "subgraph" (default for pose graphs, the reference's design): a
+    maximum-weight spanning tree of the pose graph (weight = information
+    trace), assembled into its own lambda and factored by the MIS-Schur
+    engine.  A TREE eliminates with zero fill and ~half its vertices per
+    level, so the preconditioner solve is O(log n) batched levels — the
+    sequential sparse triangular solve that made spanning trees look
+    hardware-hostile becomes exactly the engine's best case;
+  * "jacobi": inverted diagonal blocks (kept for landmark systems, where
+    the Schur path is preferred anyway).
 """
 
 from __future__ import annotations
@@ -34,27 +38,97 @@ class SPCGSolver(GaussNewtonSolver):
     """GN outer loop with a CG linear solver (no factorization)."""
 
     def __init__(self, system: GraphSystem, config: Optional[SolverConfig] = None,
-                 cg_iters: int = 200, cg_tol: float = 1e-8):
+                 cg_iters: int = 200, cg_tol: float = 1e-8,
+                 preconditioner: str = "auto"):
         super().__init__(system, config)
         self.cg_iters = cg_iters
         self.cg_tol = cg_tol
         asm = self.asm
         self._diag_pos = jnp.asarray(asm.pp_diag_ids)
+        if preconditioner == "auto":
+            preconditioner = "subgraph" if asm.Nl == 0 else "jacobi"
+        self.preconditioner = preconditioner
+        if preconditioner == "subgraph":
+            self._build_subgraph()
         self._cg_jit = jax.jit(self._cg_impl)
+
+    # -- spanning-tree subgraph preconditioner ---------------------------
+
+    def _build_subgraph(self) -> None:
+        """Host: maximum-weight spanning tree (Kruskal over information
+        trace), per-edge-type keep masks, and the tree-pattern factorization
+        plan (reference NonlinearSolver_SPCG.h:19 subgraph role)."""
+        from slam_plus_plus_tpu.models.types import EDGE_TYPES
+        from slam_plus_plus_tpu.linalg.block_cholesky import (
+            BlockCholeskySolver)
+        asm = self.asm
+        system = self.system
+        Np = asm.Np
+
+        cand = []     # (weight, ename, local_idx, ci, cj)
+        for ename, store in system.edge_stores.items():
+            et = EDGE_TYPES[ename]
+            if et.arity != 2:
+                continue
+            for li in range(store.n):
+                gi, gj = store.vertex_ids[li]
+                ci = asm.type_cslot[system.vertex_directory[gi][0]][
+                    system.vertex_directory[gi][1]]
+                cj = asm.type_cslot[system.vertex_directory[gj][0]][
+                    system.vertex_directory[gj][1]]
+                w = float(np.trace(np.asarray(store.informations[li])))
+                cand.append((w, ename, li, int(ci), int(cj)))
+        cand.sort(key=lambda t: -t[0])
+        parent = np.arange(Np)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        tree_pairs = []
+        for (w, ename, li, ci, cj) in cand:
+            ra, rb = find(ci), find(cj)
+            if ra == rb:
+                continue
+            parent[ra] = rb
+            tree_pairs.append((min(ci, cj), max(ci, cj)))
+
+        # tree-pattern positions inside the full pp pattern.  The
+        # preconditioner is the FULL lambda restricted to tree + diagonal
+        # pairs: restricted = (tree lambda) + (full diag - tree diag), a
+        # PSD shift of the tree's SPD lambda — so it is SPD, strictly
+        # stronger than the tree alone, and needs no re-assembly (one
+        # gather from the BlockSystem the solver already has).
+        keys_full = asm.pp_rows * Np + asm.pp_cols
+        tp = np.array(sorted({r * Np + c for (r, c) in tree_pairs} |
+                             {v * Np + v for v in range(Np)}),
+                      dtype=np.int64)
+        self._tree_sel = jnp.asarray(np.searchsorted(keys_full, tp))
+        self._tree_chol = BlockCholeskySolver(tp // Np, tp % Np, Np, asm.Bp)
 
     def _cg_impl(self, bs):
         asm = self.asm
         Bp, Bl = asm.Bp, asm.Bl
 
-        # block-Jacobi preconditioner: inverted diagonal blocks
-        diag_p = bs.pp_blocks[self._diag_pos]            # [Np, Bp*Bp]
-        m_p = planar.binv(diag_p, Bp)
-        m_l = planar.binv(bs.ll_blocks, Bl) if asm.Nl else None
+        if self.preconditioner == "subgraph":
+            f_tree = self._tree_chol._factor_impl(
+                bs.pp_blocks[self._tree_sel])
 
-        def precond(r_p, r_l):
-            z_p = planar.bmv(m_p, r_p, Bp, Bp)
-            z_l = planar.bmv(m_l, r_l, Bl, Bl) if asm.Nl else r_l
-            return z_p, z_l
+            def precond(r_p, r_l):
+                return (self._tree_chol._solve_with_factor_impl(f_tree,
+                                                                r_p), r_l)
+        else:
+            # block-Jacobi preconditioner: inverted diagonal blocks
+            diag_p = bs.pp_blocks[self._diag_pos]        # [Np, Bp*Bp]
+            m_p = planar.binv(diag_p, Bp)
+            m_l = planar.binv(bs.ll_blocks, Bl) if asm.Nl else None
+
+            def precond(r_p, r_l):
+                z_p = planar.bmv(m_p, r_p, Bp, Bp)
+                z_l = planar.bmv(m_l, r_l, Bl, Bl) if asm.Nl else r_l
+                return z_p, z_l
 
         def matvec(v_p, v_l):
             return lambda_spmv(asm, bs, v_p, v_l)

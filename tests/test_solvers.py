@@ -167,3 +167,18 @@ def test_a_solver_materializes_and_matches_lambda(tmp_path):
     chi_l, it_l = gn.optimize(5)
     assert it_a == it_l
     assert abs(chi_a - chi_l) < 1e-6 * max(chi_l, 1.0)
+
+
+def test_spcg_subgraph_preconditioner(man_file):
+    """The spanning-tree subgraph preconditioner (the reference solver's
+    defining design, NonlinearSolver_SPCG.h:19) engages on pose graphs and
+    matches the dense-solver optimum."""
+    from slam_plus_plus_tpu.solvers.spcg import SPCGSolver
+    from slam_plus_plus_tpu.solvers.gauss_newton import GaussNewtonSolver
+    system = parse_g2o(man_file)
+    sv = SPCGSolver(system, cg_iters=400)
+    assert sv.preconditioner == "subgraph"
+    assert sv._tree_chol.plan.n_bottom >= 1
+    chi2, iters = sv.optimize(5)
+    ref_chi2, _ = GaussNewtonSolver(parse_g2o(man_file)).optimize(5)
+    assert chi2 <= ref_chi2 * 1.01 + 1e-6, (chi2, ref_chi2)
