@@ -119,6 +119,33 @@ def main():
     print(f"chi2 after {TIMED_STEPS} steps: {final_chi2:.1f} "
           f"(reference converged: {REF_FINAL_CHI2:.1f})", file=sys.stderr)
 
+    # --- incremental metric (round-4 VERDICT ask): a small FastL replay on
+    # the same backend, per-applied-step time + chi2 parity recorded in the
+    # JSON extras.  Reference same-machine wall for this workload class:
+    # manhattan3500 -nsp 1 -fL = 1.49 s (534 solves, measured 2026-08-21).
+    inc_extra = {}
+    try:
+        from slam_plus_plus_tpu.io.datasets import (make_manhattan_2d,
+                                                    write_g2o_2d)
+        from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+        ipath = "/tmp/bench_fastl_600_3.txt"
+        if not os.path.exists(ipath):
+            poses, edges = make_manhattan_2d(n_poses=600, seed=3)
+            write_g2o_2d(ipath, edges, poses)
+        t0 = time.perf_counter()
+        fl = FastLSolver(parse_g2o(ipath), every_n=1)
+        ichi2, _ = fl.run()
+        iel = time.perf_counter() - t0
+        inc_extra = {
+            "fastl_m600_wall_s": round(iel, 1),
+            "fastl_m600_ms_per_applied_step": round(
+                iel / max(fl.stats["omega_steps"], 1) * 1000.0, 2),
+            "fastl_m600_chi2": round(float(ichi2), 2),
+        }
+        print(f"fastl m600: {inc_extra}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — the headline metric still prints
+        print(f"fastl bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ba_solve_iter",
         "value": round(ms_per_iter, 2),
@@ -127,6 +154,7 @@ def main():
         "breakdown_s": {"tunnel_init": round(t_tunnel, 1),
                         "trace_compile": round(t_compile, 1),
                         "first_execute": round(t_first, 1)},
+        **inc_extra,
     }))
 
 

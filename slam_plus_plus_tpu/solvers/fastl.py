@@ -80,6 +80,14 @@ class FastLSolver:
         asm = self.asm
         assert asm.Nl == 0, "mixed-class assembler still split a class"
 
+        # f32 note (measured, trees10k incr on TPU): periodic full factor
+        # redescents do NOT tighten the final chi2 — the 1.09x gap vs the
+        # f64 trajectory comes from push decisions flipping under f32
+        # rounding (trajectory variance), not from accumulated factor
+        # error (a refresh-every-64 run landed WORSE at 1.21x).  Long f32
+        # landmark replays therefore deploy on CPU/f64; the engine itself
+        # is correct on chip (manhattan f32 ratio 1.0024).
+
         # factorization plan over the full replay pattern; SMALL dense
         # bottom — the dirty step refactors the bottom Cholesky every step,
         # so its size sets the per-step floor (bottom^3/3 flops); elimination

@@ -65,16 +65,30 @@ class GaussNewtonSolver:
         self._schur = SchurSolver(asm) if use_schur else None
         self._host = HostSparseSolver() if not use_schur else None
         n_scalar = asm.Np * asm.Bp
+        # f32 never auto-picks the raw dense factor: an unequilibrated
+        # pose-graph lambda has kappa ~1e8, so a single-precision direct
+        # Cholesky loses every digit (kappa*eps = O(10); observed on chip:
+        # NaN first step at intel/manhattan scale while the Jacobi-
+        # equilibrated + CG-refined sparse path converges at ratio <=1.01).
+        f32 = self.asm.dtype == jnp.float32
         self._dense_direct = (not use_schur and
                               (self.config.linear_solver == "dense" or
                                (self.config.linear_solver == "auto" and
-                                n_scalar <= _dense_limit())))
+                                not f32 and n_scalar <= _dense_limit())))
         if self._dense_direct:
-            # rows/cols stay host-side numpy: static scatter structure
-            self._dense_solve_jit = jax.jit(
-                lambda sys_: solve_dense_spd(asm.pp_rows, asm.pp_cols,
-                                             sys_.pp_blocks, sys_.eta_p,
-                                             asm.Np, asm.Bp))
+            # rows/cols stay host-side numpy: static scatter structure.
+            # full-f32 precision: the TPU default rounds the blocked
+            # Cholesky/TRSM through bf16 passes — a 10k-dim dense factor
+            # then produces a divergent step (observed: manhattan3500 batch
+            # chi2 exploding after one iteration on chip, while the sparse
+            # path with pinned precision converges).
+            def dense_solve(sys_):
+                with jax.default_matmul_precision("highest"):
+                    return solve_dense_spd(asm.pp_rows, asm.pp_cols,
+                                           sys_.pp_blocks, sys_.eta_p,
+                                           asm.Np, asm.Bp)
+
+            self._dense_solve_jit = jax.jit(dense_solve)
         # large pose-graph path: nested MIS-Schur sparse block Cholesky on
         # device (replaces the reference's CLinearSolver_UberBlock role)
         self._sparse_chol = None
