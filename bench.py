@@ -136,11 +136,19 @@ def main():
         fl = FastLSolver(parse_g2o(ipath), every_n=1)
         ichi2, _ = fl.run()
         iel = time.perf_counter() - t0
+        # warm replay: the second solver's programs load from the
+        # persistent cache, so this measures the steady per-step rate
+        # rather than trace+compile
+        t0 = time.perf_counter()
+        fl2 = FastLSolver(parse_g2o(ipath), every_n=1)
+        ichi2b, _ = fl2.run()
+        iel2 = time.perf_counter() - t0
         inc_extra = {
             "fastl_m600_wall_s": round(iel, 1),
-            "fastl_m600_ms_per_applied_step": round(
-                iel / max(fl.stats["omega_steps"], 1) * 1000.0, 2),
-            "fastl_m600_chi2": round(float(ichi2), 2),
+            "fastl_m600_warm_wall_s": round(iel2, 1),
+            "fastl_m600_warm_ms_per_applied_step": round(
+                iel2 / max(fl2.stats["omega_steps"], 1) * 1000.0, 2),
+            "fastl_m600_chi2": round(float(ichi2b), 2),
         }
         print(f"fastl m600: {inc_extra}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — the headline metric still prints
