@@ -82,13 +82,26 @@ class SymbolicPlan:
 
     def __init__(self, rows: np.ndarray, cols: np.ndarray, N: int, B: int,
                  bottom: int = 512, max_degree: int = 16,
-                 max_levels: int = 64, dense_cap: int = 32000):
+                 max_levels: int = 64, dense_cap: int = 32000,
+                 pin_last=None):
+        """pin_last: optional vertex ids EXCLUDED from every elimination
+        level — they survive to the dense bottom, the analogue of the
+        reference's constrained orderings that force chosen blocks to the
+        end of the factor (CLastElementOrderingConstraint /
+        CFirstLastElementOrderingConstraint / n-last,
+        reference include/slam/OrderingMagic.h:138-180; used there to keep
+        marginals-relevant columns last).  Here "last" = the bottom dense
+        factor, where the pinned blocks' rows/columns are directly
+        addressable."""
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         if np.any(rows > cols):
             raise ValueError("pattern must be upper pairs (row <= col)")
         self.N, self.B = int(N), int(B)
         self.levels: List[_Level] = []
+        self._pin_mask0 = np.zeros(N, dtype=bool)
+        if pin_last is not None:
+            self._pin_mask0[np.asarray(pin_last, dtype=np.int64)] = True
 
         # current level pattern: sorted unique keys r*n + c (r <= c) and the
         # mapping from original pair order (level 0 = caller's order)
@@ -101,6 +114,7 @@ class SymbolicPlan:
         self.input_perm = order  # caller blocks -> level-0 storage order
 
         dense_cap_blocks = max(bottom, dense_cap // B)
+        pin = self._pin_mask0.copy()
         while n > bottom and len(self.levels) < max_levels:
             # stop when elimination stops paying: the remaining system is
             # dense-ish (fill) or progress is marginal — the dense MXU bottom
@@ -112,11 +126,12 @@ class SymbolicPlan:
             density = len(keys) / (n * (n + 1) / 2)
             if density > 0.25 and n <= dense_cap_blocks:
                 break
-            lvl, keys, n_next = self._build_level(keys, n, max_degree)
+            lvl, keys, n_next = self._build_level(keys, n, max_degree, pin)
             if lvl is None:
                 break  # no progress possible (degree cap)
             self.levels.append(lvl)
             stalled = lvl.n_elim < max(16, 0.05 * n)
+            pin = pin[lvl.rest_orig]
             n = n_next
             if stalled and n <= dense_cap_blocks:
                 break
@@ -134,6 +149,13 @@ class SymbolicPlan:
         self.diag_pos0 = np.flatnonzero(self.rows0 == self.cols0)
         assert len(self.diag_pos0) == N, "every vertex needs a diagonal pair"
 
+        # original vertex id of each bottom slot (consumers of pin_last
+        # address the pinned blocks inside the dense bottom through this)
+        orig = np.arange(N, dtype=np.int64)
+        for lv in self.levels:
+            orig = orig[lv.rest_orig]
+        self.bottom_orig = orig
+
         # bottom: dense scatter plan for the remaining pattern
         self.n_bottom = n
         r = keys // n
@@ -149,7 +171,8 @@ class SymbolicPlan:
     # -- host helpers ---------------------------------------------------
 
     @staticmethod
-    def _build_level(keys: np.ndarray, n: int, max_degree: int):
+    def _build_level(keys: np.ndarray, n: int, max_degree: int,
+                     pin: Optional[np.ndarray] = None):
         r = keys // n
         c = keys % n
         offd = r != c
@@ -172,6 +195,8 @@ class SymbolicPlan:
         cap = max(max_degree, int(1.5 * np.median(deg)) + 1)
         elim_mask = np.zeros(n, dtype=bool)
         blocked = np.zeros(n, dtype=bool)
+        if pin is not None:
+            blocked |= pin    # pinned vertices are never MIS candidates
         for _ in range(8):
             vorder = np.argsort(deg, kind="stable")
             for v in vorder:
@@ -344,10 +369,10 @@ class BlockCholeskySolver:
 
     def __init__(self, rows, cols, N: int, B: int, bottom: int = 512,
                  max_degree: int = 16, dense_cap: int = 32000,
-                 max_levels: int = 64):
+                 max_levels: int = 64, pin_last=None):
         self.plan = SymbolicPlan(rows, cols, N, B, bottom=bottom,
                                  max_degree=max_degree, dense_cap=dense_cap,
-                                 max_levels=max_levels)
+                                 max_levels=max_levels, pin_last=pin_last)
         self.N, self.B = int(N), int(B)
         self._solve_jit = jax.jit(self._factor_solve_impl)
         self._factor_jit = jax.jit(self._factor_impl)

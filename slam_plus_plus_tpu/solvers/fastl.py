@@ -311,7 +311,9 @@ class FastLSolver:
                 out[tname] = states[tname].at[li].set(
                     new.astype(states[tname].dtype))
                 return out
-            self._act_fns[key] = jax.jit(act)
+            # donation: activation runs once per NEW VERTEX (thousands per
+            # replay); without it XLA copies every state array per call
+            self._act_fns[key] = jax.jit(act, donate_argnums=(0,))
         return self._act_fns[key](states, self.asm.edge_data, eidx)
 
     def _init_stores(self, states, counts, n_active):

@@ -164,3 +164,36 @@ def test_gn_city_uses_sparse_chol(tmp_path):
     chi2_ref, iters_ref = gn2.optimize(5)
     assert iters == iters_ref
     assert chi2 == pytest.approx(chi2_ref, rel=1e-6)
+
+
+def test_pin_last_constrained_ordering(tmp_path):
+    """pin_last keeps chosen vertices OUT of every elimination level — the
+    analogue of the reference's constrained orderings that force blocks to
+    the end of the factor (OrderingMagic.h:138-180).  Pinned vertices must
+    land in the dense bottom, and the solve must be unchanged."""
+    import slam_plus_plus_tpu.models  # noqa: F401
+    from slam_plus_plus_tpu.assembly.assembler import Assembler
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.linalg.block_cholesky import BlockCholeskySolver
+
+    poses, edges = D.make_manhattan_2d(n_poses=400, seed=5, loop_prob=0.3)
+    p = str(tmp_path / "m.txt")
+    D.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    bs = asm.assemble(asm.snapshot_states(s))
+
+    pins = [7, 123, 399]
+    plain = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp,
+                                bottom=16)
+    pinned = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp,
+                                 bottom=16, pin_last=pins)
+    assert pinned.n_levels >= 3
+    bot = set(int(v) for v in pinned.plan.bottom_orig)
+    assert set(pins) <= bot
+    import numpy as np
+    dx_a = np.asarray(plain.solve(bs.pp_blocks, bs.eta_p))
+    dx_b = np.asarray(pinned.solve(bs.pp_blocks, bs.eta_p))
+    denom = max(np.abs(dx_a).max(), 1e-12)
+    assert np.abs(dx_a - dx_b).max() / denom < 1e-9
