@@ -88,11 +88,27 @@ class IncrementalSolver:
         self._host = HostSparseSolver() if not use_schur else None
         self._dense_direct = (not use_schur and asm.Np * asm.Bp <= _dense_limit())
         self._sparse_chol = None
+        self._fused_lambda = None
         if not use_schur and not self._dense_direct:
             from slam_plus_plus_tpu.linalg.block_cholesky import (
                 BlockCholeskySolver)
             self._sparse_chol = BlockCholeskySolver(
                 asm.pp_rows, asm.pp_cols, asm.Np, asm.Bp)
+
+            # one dispatch per lambda-mode solve iteration: active-prefix
+            # assembly + full MIS-Schur factor+solve + |dx| in a single
+            # program (the reference's Extend/Refresh_Lambda + Cholesky
+            # solve per incremental step, NonlinearSolver_Lambda.h:516-625)
+            chol = self._sparse_chol
+
+            def fused_lambda(states, edge_data, counts, nap, nal):
+                bs = asm._assemble_active_impl(states, edge_data, counts,
+                                               nap, nal)
+                dx_p = chol._factor_solve_impl(bs.pp_blocks, bs.eta_p)
+                norm = jnp.linalg.norm(dx_p)
+                return dx_p, norm, bs.max_hdiag
+
+            self._fused_lambda = jax.jit(fused_lambda)
         if self._dense_direct:
             self._dense_solve_jit = jax.jit(
                 lambda bs: solve_dense_spd(asm.pp_rows, asm.pp_cols,
@@ -219,6 +235,19 @@ class IncrementalSolver:
         n_iters = 0
         for _ in range(max_iters):
             n_iters += 1
+            if self._fused_lambda is not None:
+                dx_p, norm_dev, _hd = self._fused_lambda(
+                    states, self.asm.edge_data, counts, nap, nal)
+                norm = float(norm_dev)
+                if np.isfinite(norm):
+                    if norm <= thresh:
+                        break
+                    states = self.asm.update(
+                        states, dx_p,
+                        jnp.zeros((max(self.asm.Nl, 1), self.asm.Bl),
+                                  dtype=dx_p.dtype))
+                    continue
+                # non-finite: fall through to the damped retry path
             bs = self.asm.assemble_active(states, counts, nap, nal)
             dx_p, dx_l = self._solve(bs)
             norm = float(jnp.sqrt(jnp.sum(dx_p * dx_p) + jnp.sum(dx_l * dx_l)))
