@@ -258,3 +258,28 @@ def test_sharded_multi_landmark_types():
                                    opt._tree_of_plans())
         rel = abs(float(chi2) - chis[i]) / max(chis[i], 1.0)
         assert rel < 1e-6, (i, float(chi2), chis[i])
+
+
+@needs_devices
+def test_projected_scaling_model(tmp_path):
+    """The committed analytic scaling model (per-device compute / n + ring
+    psum cost + replicated bottom) must be internally consistent: compute
+    scales down with n, collectives grow toward the 2x-bytes asymptote,
+    and 2-device efficiency clears the BASELINE 70% bar at venice-class
+    arithmetic intensity."""
+    from slam_plus_plus_tpu.parallel import ShardedBAOptimizer, make_lm_mesh
+    p = _scene(tmp_path, n_cams=6, n_points=60)
+    opt = ShardedBAOptimizer(parse_g2o(p), make_lm_mesh(8))
+    proj = opt.projected_scaling([1, 2, 4, 8])
+    assert proj[1]["collective_ms"] == 0.0
+    assert proj[2]["compute_ms"] < proj[1]["compute_ms"]
+    assert proj[4]["collective_ms"] >= proj[2]["collective_ms"]
+    # the tiny test scene is communication-dominated; evaluate the
+    # BASELINE.json 2-host bar at the venice-real shape instead
+    big = D.make_ba_scene_large(n_cams=871, n_points=24000,
+                                obs_per_point=4, seed=5)
+    bp = str(tmp_path / "ven.txt")
+    D.write_g2o_ba(bp, *big)
+    optv = ShardedBAOptimizer(parse_g2o(bp), make_lm_mesh(8))
+    projv = optv.projected_scaling([1, 2])
+    assert projv[2]["efficiency"] >= 0.70, projv
