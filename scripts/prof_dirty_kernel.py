@@ -1,5 +1,9 @@
-"""Micro-benchmark the IncrementalCholesky dirty kernel in isolation."""
+"""Micro-benchmark the fused IncrementalCholesky step in isolation."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 jax.config.update('jax_platforms', 'cpu')
@@ -29,38 +33,34 @@ dirty_pos = [np.array([int(p[el]) for p in pos_meta], dtype=np.int64)]
 C = len(dirty_pos[0])
 dirty_vals = [jax.numpy.zeros((C, asm.Bp * asm.Bp), dtype=asm.dtype)]
 
-# warm up host walk + pack
 bundles, D_bot = inc._host_walk(dirty_pos)
 print("bundle sizes per level:",
       [(len(b['D']), len(b['E']), len(b['W']), len(b['P'])) for b in bundles],
       "bot:", len(D_bot))
-flat, cnts = inc._bundles_to_device(bundles, D_bot)
-all_pos = np.concatenate(dirty_pos)
-D0 = bundles[0]['D'] if inc.plan.levels else D_bot
-seg = np.searchsorted(D0, all_pos)
-omega_vals = dirty_vals[0]
 
-inner = {k: stores[k] for k in
-         ('H_levels', 'c_invs', 'Ws', 'prods', 'dense', 'L', 's')}
-inner['H_levels'] = (stores['H0'],) + tuple(stores['H_levels'][1:])
-
-# donation consumes buffers: chain the output back in as input
-out = inc._dirty_jit(inner, omega_vals, jax.numpy.asarray(seg), flat, cnts)
-jax.block_until_ready(out)
 N = 200
 t0 = time.perf_counter()
 for _ in range(N):
-    inner = {k: out[k] for k in
-             ('H_levels', 'c_invs', 'Ws', 'prods', 'dense', 'L', 's')}
-    out = inc._dirty_jit(inner, omega_vals, jax.numpy.asarray(seg),
-                         flat, cnts)
-jax.block_until_ready(out)
-dt = (time.perf_counter() - t0) / N
-print(f"dirty kernel steady state: {1e3 * dt:.3f} ms/call")
+    hp = inc.prepare_host(dirty_pos)
+dt_host = (time.perf_counter() - t0) / N
+print(f"prepare_host (walk + pack): {1e3 * dt_host:.3f} ms")
 
-# cost breakdown: compiled HLO op count
-lowered = jax.jit(inc._dirty_impl, donate_argnums=(0,)).lower(
-    inner, omega_vals, jax.numpy.asarray(seg), flat, cnts)
+# warm, then steady-state fused dirty+solve step
+res = inc.step(stores, eta0, dirty_pos, dirty_vals)
+stores, dx, nrm = res
+t0 = time.perf_counter()
+for _ in range(N):
+    stores, dx, nrm = inc.step(stores, eta0, dirty_pos, dirty_vals)
+jax.block_until_ready(dx)
+dt = (time.perf_counter() - t0) / N
+print(f"fused step (omega-vals + dirty + solve): {1e3 * dt:.3f} ms/call")
+
+# cost breakdown: compiled HLO stats of the fused program
+packed = inc._prepare(dirty_pos, dirty_vals)
+inner = {k: stores[k] for k in
+         ('H', 'C', 'W', 'P', 'dense', 'L', 's', 'sv', 'outer0')}
+lowered = jax.jit(inc._step_impl, donate_argnums=(0,)).lower(
+    inner, *packed, eta0)
 comp = lowered.compile()
 try:
     an = comp.cost_analysis()
