@@ -122,13 +122,29 @@ def condition_estimate(asm, bs) -> float:
                                     Bl, Bl).reshape(-1))
         return jnp.concatenate(parts)
 
-    def inv_matvec(X):  # A^-1 X via preconditioned CG, columnwise
-        def one(col):
-            x, _ = jax.scipy.sparse.linalg.cg(matvec, col, tol=1e-9,
-                                              maxiter=min(4 * n, 20000),
-                                              M=precond)
-            return x
-        return jax.vmap(one, in_axes=1, out_axes=1)(X)
+    if Nl == 0:
+        # pose-only: apply A^-1 through ONE cached MIS-Schur factorization
+        # instead of per-iteration CG — O(fill) once + O(levels) per solve,
+        # which removes the former O(n*k)-matvecs-per-outer-iteration cost
+        # at the 100k scale this exists for
+        from slam_plus_plus_tpu.linalg.block_cholesky import (
+            BlockCholeskySolver)
+        chol = BlockCholeskySolver(asm.pp_rows, asm.pp_cols, Np, Bp)
+        f = chol.factor(bs.pp_blocks)
+
+        def inv_matvec(X):
+            def one(col):
+                return chol._solve_with_factor_impl(
+                    f, col.reshape(Np, Bp)).reshape(-1)
+            return jax.vmap(one, in_axes=1, out_axes=1)(X)
+    else:
+        def inv_matvec(X):  # A^-1 X via preconditioned CG, columnwise
+            def one(col):
+                x, _ = jax.scipy.sparse.linalg.cg(matvec, col, tol=1e-9,
+                                                  maxiter=min(4 * n, 20000),
+                                                  M=precond)
+                return x
+            return jax.vmap(one, in_axes=1, out_axes=1)(X)
 
     from jax.experimental.sparse.linalg import lobpcg_standard
     rng = np.random.default_rng(1)

@@ -64,3 +64,36 @@ def test_condition_estimate_matrix_free(tmp_path):
     w = np.abs(np.linalg.eigvalsh(_dense_lambda(asm, bs)))
     ref = float(w.max() / w.min())
     assert kappa == pytest.approx(ref, rel=0.05)
+
+
+def test_condition_estimate_factor_path(tmp_path, monkeypatch):
+    """Pose-only condition estimates apply A^-1 through the cached
+    MIS-Schur factor (no inner CG); accuracy checked vs the dense oracle
+    at a size where both run, scale smoke at 10k poses (30k dims)."""
+    import time
+    import slam_plus_plus_tpu.linalg.eigen as E
+
+    poses, edges = D.make_manhattan_2d(n_poses=300, seed=3,
+                                              loop_prob=0.3)
+    p = str(tmp_path / "c.txt")
+    D.write_g2o_2d(p, edges, poses)
+    s = parse_g2o(p)
+    asm = Assembler(s)
+    bs = asm.assemble(asm.snapshot_states(s))
+    kappa_dense = E.condition_estimate(asm, bs)          # dense (n <= limit)
+    monkeypatch.setattr(E, "_DENSE_LIMIT", 10)
+    kappa_factor = E.condition_estimate(asm, bs)         # factor path
+    assert abs(kappa_factor - kappa_dense) / kappa_dense < 0.05, \
+        (kappa_factor, kappa_dense)
+
+    poses, edges = D.make_city_2d(n_poses=10000, seed=4)
+    p2 = str(tmp_path / "c2.txt")
+    D.write_g2o_2d(p2, edges, poses)
+    s2 = parse_g2o(p2)
+    asm2 = Assembler(s2)
+    bs2 = asm2.assemble(asm2.snapshot_states(s2))
+    t0 = time.perf_counter()
+    kappa = E.condition_estimate(asm2, bs2)
+    el = time.perf_counter() - t0
+    assert np.isfinite(kappa) and kappa > 10.0
+    assert el < 300.0, el
