@@ -121,11 +121,18 @@ def test_sharded_venice_real(tmp_path):
     Per-device estimate ~1.8 GB (vs ~14.6 GB replicated)."""
     from slam_plus_plus_tpu.parallel import ShardedBAOptimizer, make_lm_mesh
 
+    import dataclasses
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.config import SolverConfig
+
     cams, pts, obs = D.make_ba_scene_large(n_cams=871, n_points=100000,
                                            obs_per_point=8, seed=5)
     p = str(tmp_path / "venice_real.txt")
     D.write_g2o_ba(p, cams, pts, obs)
-    opt = ShardedBAOptimizer(parse_g2o(p), make_lm_mesh(8))
+    # deployment dtype (f32, the v5e footprint the 2.5 GB bound is about);
+    # the f64 test default doubles every array and is not what ships
+    cfg = dataclasses.replace(SolverConfig(), dtype=jnp.float32)
+    opt = ShardedBAOptimizer(parse_g2o(p), make_lm_mesh(8), config=cfg)
     assert opt.xyz.sharding.shard_shape(opt.xyz.shape)[0] == opt.Nl_pad // 8
     mem = opt.per_device_bytes()
     assert mem["total"] < 2.5e9    # fits a v5e chip with headroom
