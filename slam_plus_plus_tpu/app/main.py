@@ -174,7 +174,8 @@ def main(argv=None):
                 IncrementalSolver)
             inc = IncrementalSolver(system, every_n=every_n,
                                     max_iterations=max_it,
-                                    dx_threshold=thresh)
+                                    dx_threshold=thresh,
+                                    allow_fused=not dump_dir)
             chi2, iters = inc.run(verbose=args.verbose,
                                   on_step=dump_step if dump_dir else None)
         elapsed = time.perf_counter() - t0

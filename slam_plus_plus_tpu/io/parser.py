@@ -277,6 +277,18 @@ def _dispatch_line(tok, vals, system, stats, on_edge, on_marker,
                 stats.edges += 1
                 if on_edge:
                     on_edge(system)
+            elif tok in ("EDGE3:TERNARY", "EDGE_SE3_TERNARY"):
+                # three-pose hyperedge (reference CEdgePose3D_Ternary,
+                # SE3_Types.h:339): <i> <j> <k> <t xyz> <axis-angle>
+                # <info 6x6 upper>; z measures the increment between the
+                # relative motions i->j and j->k
+                i, j, k = int(vals[0]), int(vals[1]), int(vals[2])
+                z = np.array([float(v) for v in vals[3:9]])
+                info = _sym_from_upper([float(v) for v in vals[9:30]], 6)
+                system.add_edge("edge_pose3d_ternary", (i, j, k), z, info)
+                stats.edges += 1
+                if on_edge:
+                    on_edge(system)
             elif tok == "VERTEX_XYZ":
                 stats.vertices += 1
                 if not is_ba:

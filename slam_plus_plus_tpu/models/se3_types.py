@@ -98,6 +98,73 @@ EDGE_POSE3D = edge_type("edge_pose3d", ("pose3d", "pose3d"), 6, 6,
                         jax_initializer=_pose3d_jax_init)
 
 
+# ---------------------------------------------------------------------------
+# ternary pose hyperedge (reference CEdgePose3D_Ternary, SE3_Types.h:339 —
+# the reference's three-pose hyperedge demo; its third jacobian is an
+# identity placeholder, ours is the real derivative via jacfwd).  Semantics
+# here: relative-motion consistency — the measurement observes the SE(3)
+# increment between the consecutive relative motions 0->1 and 1->2
+# (z = identity is a constant-velocity prior).  Exercises n-ary Hessian
+# assembly for POSE classes (landmark hyperedges are covered by P2CI).
+# ---------------------------------------------------------------------------
+
+
+def _pose3d_ternary_expectation(states):
+    x0, x1, x2 = states
+    m01 = se3.relative_to(x0, x1)
+    m12 = se3.relative_to(x1, x2)
+    return se3.relative_to(m01, m12)
+
+
+def _pose3d_ternary_residual(states, z):
+    return se3.pose_error(z, _pose3d_ternary_expectation(states))
+
+
+def _pose3d_ternary_init(states, z):
+    x0, x1, x2 = states
+    if x0 is None:
+        x0 = np.zeros(6)
+    if x1 is None:
+        x1 = np.asarray(x0, float).copy()
+    if x2 is None:
+        m01 = _np_se3_relative(np.asarray(x0, float), np.asarray(x1, float))
+        x2 = _np_se3_compose(np.asarray(x1, float),
+                             _np_se3_compose(m01, np.asarray(z, float)))
+    return x0, x1, x2
+
+
+def _np_se3_relative(p1, p2):
+    """p2 in p1's frame (host numpy; mirrors se3.relative_to)."""
+    q1 = _np_aa2q(np.asarray(p1[3:], float))
+    q1c = np.array([q1[0], -q1[1], -q1[2], -q1[3]])
+    t = _np_qrot(q1c, np.asarray(p2[:3], float) - np.asarray(p1[:3], float))
+    q2 = _np_aa2q(np.asarray(p2[3:], float))
+    qw = np.array([
+        q1c[0] * q2[0] - q1c[1] * q2[1] - q1c[2] * q2[2] - q1c[3] * q2[3],
+        q1c[0] * q2[1] + q1c[1] * q2[0] + q1c[2] * q2[3] - q1c[3] * q2[2],
+        q1c[0] * q2[2] - q1c[1] * q2[3] + q1c[2] * q2[0] + q1c[3] * q2[1],
+        q1c[0] * q2[3] + q1c[1] * q2[2] - q1c[2] * q2[1] + q1c[3] * q2[0],
+    ])
+    return np.concatenate([t, _np_q2aa(qw)])
+
+
+def _pose3d_ternary_jax_init(states, z, slot):
+    import jax.numpy as jnp
+    if slot == 0:
+        return jnp.zeros(6, dtype=z.dtype)
+    if slot == 1:
+        return states[0]
+    m01 = se3.relative_to(states[0], states[1])
+    return se3.compose(states[1], se3.compose(m01, z))
+
+
+EDGE_POSE3D_TERNARY = edge_type(
+    "edge_pose3d_ternary", ("pose3d", "pose3d", "pose3d"), 6, 6,
+    _pose3d_ternary_residual, _pose3d_ternary_init,
+    expectation=_pose3d_ternary_expectation, error=se3.pose_error,
+    jax_initializer=_pose3d_ternary_jax_init)
+
+
 def _lm3d_residual(states, z):
     pose, lm = states
     h = se3.landmark_in_frame(pose, lm)

@@ -59,8 +59,19 @@ class FastLSolver:
                  config: Optional[SolverConfig] = None,
                  refresh: str = "dirty",
                  full_refresh_interval: int = 0,
-                 bottom: int = 32):
+                 bottom: int = 32,
+                 onetime_dx: bool = True):
+        """onetime_dx=False selects the reference LAMBDA solver's incremental
+        reporting semantics: chi2/solution are evaluated at the last pushed
+        linearization with no trailing one-time dx (the lambda solver's
+        Optimize discards a below-threshold dx, reference
+        include/slam/NonlinearSolver_Lambda.h:637-661, and reports at the
+        linearization point).  Between pushes the linearization is frozen, so
+        lambda maintained by omega updates equals the lambda solver's full
+        Refresh_Lambda bit-for-near-bit — the maintained-factor engine serves
+        both solvers; only the final report differs."""
         self.system = system
+        self.onetime_dx = onetime_dx
         self.config = config or SolverConfig()
         self.every_n = every_n
         self.max_iterations = max_iterations
@@ -681,7 +692,7 @@ class FastLSolver:
         # one-time dx when no push materialized it (f_Chi_Squared_Error_Denorm,
         # reference NonlinearSolver_FastL.h:582-605: CalculateOneTimeDx +
         # PushValuesInGraphSystem, evaluate, revert)
-        if stores is not None and lin_dirty:
+        if stores is not None and lin_dirty and self.onetime_dx:
             dx, _norm = self._solve(stores, eta0)
             if bool(jnp.all(jnp.isfinite(dx))):
                 states = asm._update_jit(

@@ -58,7 +58,8 @@ class IncrementalSolver:
     def __init__(self, system: GraphSystem, every_n: int = 1,
                  max_iterations: int = 10, dx_threshold: float = 20.0,
                  mode: str = "lambda",
-                 config: Optional[SolverConfig] = None):
+                 config: Optional[SolverConfig] = None,
+                 allow_fused: bool = True):
         """mode="lambda": the reference lambda solver's incremental policy —
         solve only when a loop closure is pending at an every-N boundary,
         Optimize(10, 20) break-before-push semantics (exact parity).
@@ -78,6 +79,30 @@ class IncrementalSolver:
         self.every_n = every_n
         self.max_iterations = max_iterations
         self.dx_threshold = dx_threshold
+
+        # ---- maintained-factor fast path (round 5) ---------------------
+        # For pose-graph (non-Schur) lambda-mode replays, the linearization
+        # is frozen between pushes, so lambda maintained by omega updates
+        # equals the reference's full Refresh_Lambda exactly — the FastL
+        # fused scan engine (one dispatch per solve point) serves the
+        # lambda solver too; only the final report differs (no trailing
+        # one-time dx, reference NonlinearSolver_Lambda.h:637-661).
+        # Verified exact: manhattan3500 -nsp 1 chi2 1705.99 @534 == ref.
+        self._delegate = None
+        if mode == "lambda" and every_n and allow_fused:
+            from slam_plus_plus_tpu.models.types import VERTEX_TYPES
+            has_split = any(
+                VERTEX_TYPES[t].schur_class == "landmark" and st.n > 0
+                for t, st in system.vertex_stores.items())
+            if not has_split:
+                from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+                self._delegate = FastLSolver(
+                    system, every_n=every_n, max_iterations=max_iterations,
+                    dx_threshold=dx_threshold, config=config,
+                    onetime_dx=False)
+                self.asm = self._delegate.asm
+                self.steps = self._delegate.steps
+                return
         self.asm = Assembler(system, dataclasses.replace(
             self.config, edge_layout="flat"))
         asm = self.asm
@@ -270,6 +295,14 @@ class IncrementalSolver:
 
     def run(self, verbose: bool = False, on_step=None):
         """Replay all edges; returns (final_chi2, n_total_iterations)."""
+        if self._delegate is not None:
+            if on_step is not None:
+                raise ValueError("per-step callbacks need "
+                                 "IncrementalSolver(allow_fused=False)")
+            out = self._delegate.run(verbose=verbose)
+            self.elapsed = self._delegate.elapsed
+            self.n_solves = self._delegate.stats.get("steps", 0)
+            return out
         t0 = time.perf_counter()
         asm = self.asm
         states = asm.snapshot_states(self.system)
