@@ -127,6 +127,12 @@ def gen(name):
     elif name == "ba_venice_class":
         cams, pts, obs = D.make_ba_scene(n_cams=100, n_points=8000, seed=77)
         D.write_g2o_ba(path, cams, pts, obs)
+    elif name == "ba_venice_real":
+        # the reference's HEADLINE scale (venice871.g2o: 871 cams, ~100k
+        # points, unit_tests.sh:184-189): 871 cams x 100k pts x 800k obs
+        cams, pts, obs = D.make_ba_scene_large(n_cams=871, n_points=100000,
+                                               obs_per_point=8, seed=871)
+        D.write_g2o_ba(path, cams, pts, obs)
     return path
 
 
@@ -146,6 +152,8 @@ ROWS = [
      lambda p: ours_batch(p, "gn", 5), False),
     ("ba venice-class batch (LM)", "ba_venice_class", ["-us", "-,\\lm"],
      lambda p: ours_batch(p, "lm", 5), False),
+    ("ba venice-real batch (LM) 871cams/100k pts", "ba_venice_real",
+     ["-us", "-,\\lm"], lambda p: ours_batch(p, "lm", 5), False),
     ("manhattan3500 incr lambda -nsp 1", "manhattan3500", ["-po", "-nsp", "1"],
      lambda p: ours_incremental(p, "lambda"), False),
     ("manhattan3500 incr fastL -nsp 1", "manhattan3500",

@@ -790,19 +790,41 @@ class Assembler:
     def _chi2_active_impl(self, states, edge_data, counts):
         return self._chi2_impl(states, self._mask_edge_data(edge_data, counts))
 
+    def set_aot_salt(self, salt: str) -> None:
+        """Opt this assembler's jitted programs into the persistent AOT
+        export cache (utils/aot_cache) — warm runs skip tracing.  The salt
+        must fingerprint everything baked into the traces (the pattern /
+        contribution segment arrays); FastLSolver computes it."""
+        from slam_plus_plus_tpu.utils.aot_cache import (aot_jit,
+                                                        register_namedtuples)
+        register_namedtuples(BlockSystem)
+        self.aot_salt = salt
+        self._update_jit = aot_jit(self._update_impl, "asm_update", salt)
+        for attr in ("_assemble_active_jit", "_chi2_active_jit"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def _make_jit(self, fn, name):
+        if getattr(self, "aot_salt", None) is not None:
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            return aot_jit(fn, name, self.aot_salt)
+        return jax.jit(fn)
+
     def assemble_active(self, states, counts, n_active_p, n_active_l):
         if self.pl_uniform is not None:
             raise RuntimeError(
                 "active-prefix masking needs parse order; construct the "
                 "Assembler with config.edge_layout='flat'")
         if not hasattr(self, "_assemble_active_jit"):
-            self._assemble_active_jit = jax.jit(self._assemble_active_impl)
+            self._assemble_active_jit = self._make_jit(
+                self._assemble_active_impl, "asm_active")
         return self._assemble_active_jit(states, self.edge_data, counts,
                                          n_active_p, n_active_l)
 
     def chi2_active(self, states, counts):
         if not hasattr(self, "_chi2_active_jit"):
-            self._chi2_active_jit = jax.jit(self._chi2_active_impl)
+            self._chi2_active_jit = self._make_jit(self._chi2_active_impl,
+                                                   "asm_chi2_active")
         return self._chi2_active_jit(states, self.edge_data, counts)
 
     def _finalize(self, pp, pl, ll, eta_p, eta_l, chi2, max_hdiag) -> BlockSystem:

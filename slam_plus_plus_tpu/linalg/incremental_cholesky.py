@@ -51,7 +51,8 @@ class IncrementalCholesky:
     _NOT_PREPARED = object()   # sentinel: "compute prepare_host inline"
 
     def __init__(self, chol: BlockCholeskySolver,
-                 caps: Optional[dict] = None, omega_cap: int = 768):
+                 caps: Optional[dict] = None, omega_cap: int = 768,
+                 aot_salt: Optional[str] = None):
         self.chol = chol
         self.plan = chol.plan
         self.B = chol.B
@@ -63,11 +64,24 @@ class IncrementalCholesky:
         self._set_caps(caps)
         self._build_host_maps()
         self._build_solve_consts()
+        self._build_full_consts()
         # stores are donated: the step updates tens of MB of factor state in
         # place instead of copying it every step
-        self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
-        self._full_jit = jax.jit(self._full_impl)
-        self._solve_jit = jax.jit(self._solve_only_impl)
+        if aot_salt is not None:
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            salt = f"{aot_salt}|{self.cap_d},{self.cap_e},{self.cap_w}," \
+                   f"{self.cap_p},{self.omega_cap}"
+            self.aot_salt = salt
+            self._step_jit = aot_jit(self._step_impl, "inc_step", salt,
+                                     donate_argnums=(0,))
+            self._full_jit = aot_jit(self._full_impl, "inc_full", salt)
+            self._solve_jit = aot_jit(self._solve_only_impl, "inc_solve",
+                                      salt)
+        else:
+            self.aot_salt = None
+            self._step_jit = jax.jit(self._step_impl, donate_argnums=(0,))
+            self._full_jit = jax.jit(self._full_impl)
+            self._solve_jit = jax.jit(self._solve_only_impl)
         self.n_overflows = 0
 
     # ------------------------------------------------------------------
@@ -344,10 +358,158 @@ class IncrementalCholesky:
     # full redescent -> flat stores
     # ------------------------------------------------------------------
 
+    def _build_full_consts(self) -> None:
+        """Stacked per-level device constants for the SCANNED full
+        redescent — the analogue of _build_solve_consts for the descend
+        direction.  The round-4 _full_impl unrolled a python loop over the
+        L levels into one XLA graph (~1.5 s of jax tracing per process and
+        a deep sequential program); bucketing levels of similar pair-count
+        into shared lax.scan bodies cuts the trace to ~4 bodies.
+
+        Carry layout per bucket of width W: rows [0..W) hold the level's
+        pair blocks, row W is the zero/sink row (padded gathers read zero,
+        padded scatters land there), row W+1 is an IDENTITY block (padded
+        pivot gathers invert to identity harmlessly)."""
+        plan, B = self.plan, self.B
+        levels = plan.levels
+        L = len(levels)
+        self._full_buckets = []
+        b_start = 0
+        while b_start < L:
+            w0 = max(levels[b_start].K, levels[b_start].K_next)
+            b_end = b_start + 1
+            while (b_end < L and
+                   max(levels[b_end].K, levels[b_end].K_next) > 0.55 * w0):
+                w0 = max(w0, levels[b_end].K, levels[b_end].K_next)
+                b_end = b_end + 1
+            lvls = levels[b_start:b_end]
+            Lb = len(lvls)
+            W = int(max(max(lv.K, lv.K_next) for lv in lvls))
+            nE = max(lv.n_elim for lv in lvls)
+            Ku = max(max(len(lv.u_src) for lv in lvls), 1)
+            T = max(max(len(lv.pa) for lv in lvls), 1)
+            Kc = max(max(len(lv.carry_src) for lv in lvls), 1)
+
+            def stack(get, width, fill):
+                out = np.full((Lb, width), fill, dtype=np.int64)
+                for li, lv in enumerate(lvls):
+                    a = np.asarray(get(b_start + li, lv))
+                    out[li, :len(a)] = a
+                return jnp.asarray(out)
+
+            def stackb(get, width):
+                out = np.zeros((Lb, width), dtype=bool)
+                for li, lv in enumerate(lvls):
+                    a = np.asarray(get(lv))
+                    out[li, :len(a)] = a
+                return jnp.asarray(out)
+
+            xs = dict(
+                h_out=stack(lambda gi, lv: self.off_H[gi] +
+                            np.arange(lv.K), W, self.H_sink),
+                elim=stack(lambda gi, lv: lv.elim_diag_idx, nE, W + 1),
+                c_out=stack(lambda gi, lv: self.off_C[gi] +
+                            np.arange(lv.n_elim), nE, self.C_sink),
+                u_src=stack(lambda gi, lv: lv.u_src, Ku, W),
+                u_flip=stackb(lambda lv: lv.u_flip, Ku),
+                u_elim=stack(lambda gi, lv: lv.u_elim, Ku, nE),
+                w_out=stack(lambda gi, lv: self.off_W[gi] +
+                            np.arange(len(lv.u_src)), Ku, self.W_sink),
+                pa=stack(lambda gi, lv: lv.pa, T, Ku),
+                pb=stack(lambda gi, lv: lv.pb, T, Ku),
+                p_flip=stackb(lambda lv: lv.p_flip, T),
+                p_out=stack(lambda gi, lv: self.off_P[gi] +
+                            np.arange(len(lv.pa)), T, self.NP),
+                p_dst=stack(lambda gi, lv: lv.p_dst, T, W),
+                c_src=stack(lambda gi, lv: lv.carry_src, Kc, W),
+                c_dst=stack(lambda gi, lv: lv.carry_dst, Kc, W),
+            )
+            self._full_buckets.append(dict(xs=xs, W=W, nE=nE, Ku=Ku, T=T))
+            b_start = b_end
+
     @_full_f32
     def _full_impl(self, H0):
-        """Full redescent from level-0 blocks (PLAN order, [K0, B*B]),
-        producing the flat stores the fused step updates in place."""
+        """Full redescent from level-0 blocks (PLAN order, [K0, B*B]) via
+        the bucketed level scans, producing the flat stores the fused step
+        updates in place.  Replaces the round-4 unrolled python loop (same
+        math, per-lane bit-equal; ~4 scan bodies instead of ~15*L ops)."""
+        with jax.default_matmul_precision("highest"):
+            plan, B = self.plan, self.B
+            BB = B * B
+            sv, outer0 = self.chol._jacobi_scale(H0)
+            H0s = H0 * outer0
+            dt = H0s.dtype
+            eye = jnp.eye(B, dtype=dt).reshape(1, BB)
+            zero1 = jnp.zeros((1, BB), dtype=dt)
+
+            H_flat = jnp.zeros((self.KH + 2, BB), dtype=dt)
+            C_flat = jnp.zeros((self.NC + 2, BB), dtype=dt)
+            W_flat = jnp.zeros((self.NW + 2, BB), dtype=dt)
+            P_flat = jnp.zeros((self.NP + 1, BB), dtype=dt)
+
+            H_cur = H0s
+            for bk in self._full_buckets:
+                W, nE, Ku, T, xs = (bk["W"], bk["nE"], bk["Ku"], bk["T"],
+                                    bk["xs"])
+                pad = W - H_cur.shape[0]
+                Hc = (jnp.concatenate(
+                    [H_cur, jnp.zeros((pad, BB), dtype=dt)])
+                    if pad > 0 else H_cur[:W])
+
+                def body(Hd, x, W=W, nE=nE):
+                    H_ext = jnp.concatenate([Hd, zero1, eye])
+                    Cp = H_ext[x["elim"]]
+                    if dt == jnp.float32:
+                        dmean = jnp.mean(jnp.abs(planar.bdiag(Cp, B)),
+                                         axis=1)
+                        Cp = planar.badd_diag(
+                            Cp, 1e-5 * jnp.maximum(dmean, 1e-30), B)
+                    c_inv = planar.binv(Cp, B)
+                    U0 = H_ext[x["u_src"]]
+                    U = jnp.where(x["u_flip"][:, None],
+                                  planar.btranspose(U0, B, B), U0)
+                    c_ext = jnp.concatenate([c_inv, zero1])
+                    Wn = planar.bmm(U, c_ext[x["u_elim"]], B, B, B)
+                    W_ext = jnp.concatenate([Wn, zero1])
+                    U_ext = jnp.concatenate([U, zero1])
+                    prod = planar.bmm_A_Bt(W_ext[x["pa"]], U_ext[x["pb"]],
+                                           B, B, B)
+                    prod = jnp.where(x["p_flip"][:, None],
+                                     planar.btranspose(prod, B, B), prod)
+                    Hn = jnp.zeros((W + 1, BB), dtype=dt)
+                    Hn = Hn.at[x["c_dst"]].set(H_ext[x["c_src"]])
+                    Hn = Hn - jax.ops.segment_sum(prod, x["p_dst"],
+                                                  num_segments=W + 1)
+                    return Hn[:W], (Hd, c_inv, Wn, prod)
+
+                Hc, (Hs, Cs, Ws, Ps) = jax.lax.scan(body, Hc, xs)
+                H_flat = H_flat.at[xs["h_out"].reshape(-1)].set(
+                    Hs.reshape(-1, BB))
+                C_flat = C_flat.at[xs["c_out"].reshape(-1)].set(
+                    Cs.reshape(-1, BB))
+                W_flat = W_flat.at[xs["w_out"].reshape(-1)].set(
+                    Ws.reshape(-1, BB))
+                P_flat = P_flat.at[xs["p_out"].reshape(-1)].set(
+                    Ps.reshape(-1, BB))
+                H_cur = Hc
+
+            Hb = H_cur[:self.KB] if len(plan.levels) else H0s
+            H_flat = H_flat.at[self.off_H_bottom +
+                               jnp.arange(self.KB)].set(Hb)
+            dense = self.chol._bottom_dense(Hb)
+            L, s = _equilibrated_cholesky(dense)
+            return dict(
+                H=H_flat, C=C_flat, W=W_flat, P=P_flat,
+                dense=jnp.concatenate([dense.reshape(-1),
+                                       jnp.zeros((1,), dtype=dt)]),
+                L=L, s=s, sv=sv,
+                outer0=jnp.concatenate(
+                    [outer0, jnp.ones((1, BB), dtype=dt)]))
+
+    @_full_f32
+    def _full_impl_unrolled(self, H0):
+        """Round-4 unrolled redescent (kept as the parity oracle for
+        tests/test_fastl.py::test_full_scan_matches_unrolled)."""
         with jax.default_matmul_precision("highest"):
             plan, B = self.plan, self.B
             sv, outer0 = self.chol._jacobi_scale(H0)
@@ -568,6 +730,266 @@ class IncrementalCholesky:
         D0 = bundles[0]["D"] if self.plan.levels else D_bot
         seg = np.searchsorted(D0, all_pos)
         return (seg, buf, bot_sel, bot_h)
+
+    # ------------------------------------------------------------------
+    # batched host walks: the WHOLE replay's solve schedule is host-static
+    # (it depends only on the plan + which edges are pending at each solve
+    # point, never on runtime values), so all reachability walks can be
+    # done in ONE vectorized numpy pass at construction instead of ~2 ms
+    # of small-array numpy per solve point (the reference's analogue work
+    # is Refresh_R_IncR11's per-step submatrix selection,
+    # NonlinearSolver_FastL.h:2145; there is no analogue of batching it
+    # because the reference's schedule is not precomputed)
+    # ------------------------------------------------------------------
+
+    _SHIFT = np.int64(1) << np.int64(42)   # (sid, val) -> combined sort key
+
+    def prepare_host_batch(self, dirty_pos_lists):
+        """Vectorized prepare_host for many solve points at once.
+
+        dirty_pos_lists: list over solve points of dirty_pos (each a list of
+        level-0 position arrays).  Returns a list of prepare_host-equivalent
+        results ((seg, buf, bot_sel, bot_h) or None on overflow), bit-equal
+        to calling prepare_host per point.
+        """
+        S = len(dirty_pos_lists)
+        if S == 0:
+            return []
+        plan = self.plan
+        L = len(plan.levels)
+        SH = self._SHIFT
+
+        all_pos_l = [np.concatenate(dp) if dp else np.zeros(0, np.int64)
+                     for dp in dirty_pos_lists]
+        lens = np.array([len(a) for a in all_pos_l])
+        over = lens > self.omega_cap
+        pos_flat = (np.concatenate(all_pos_l) if all_pos_l
+                    else np.zeros(0, np.int64))
+        sid_flat = np.repeat(np.arange(S), lens)
+
+        def dedup(sid, val):
+            key = np.sort(sid * SH + val, kind="stable")
+            if len(key):
+                keep = np.empty(len(key), dtype=bool)
+                keep[0] = True
+                np.not_equal(key[1:], key[:-1], out=keep[1:])
+                key = key[keep]
+            return key // SH, key % SH
+
+        def starts_of(sid):
+            return np.searchsorted(sid, np.arange(S + 1))
+
+        def expand(sid, ids, start_arr, order=None):
+            if not len(ids):
+                return (np.zeros(0, np.int64),) * 2
+            s, e = start_arr[ids], start_arr[ids + 1]
+            ln = e - s
+            tot = int(ln.sum())
+            flat = np.repeat(s, ln) + (np.arange(tot) -
+                                       np.repeat(np.cumsum(ln) - ln, ln))
+            out_sid = np.repeat(sid, ln)
+            return out_sid, (order[flat] if order is not None else flat)
+
+        def locate(h_sid, h_val, h_starts, q_sid, q_val, miss):
+            if not len(q_val):
+                return np.zeros(0, np.int64)
+            if not len(h_val):
+                return np.full(len(q_val), miss, dtype=np.int64)
+            hk = h_sid * SH + h_val
+            qk = q_sid * SH + q_val
+            pos = np.searchsorted(hk, qk)
+            pc = np.minimum(pos, len(hk) - 1)
+            hit = hk[pc] == qk
+            return np.where(hit, pc - h_starts[q_sid], miss)
+
+        d_sid, d_val = dedup(sid_flat, pos_flat)
+        d0_sid, d0_val = d_sid, d_val
+        d0_starts = starts_of(d0_sid)
+
+        # observed per-solve maxima (for replay-sized capacity tightening):
+        # both the global max and the per-solve-point max over levels, so
+        # the caller can cap at a high percentile and let the rare huge
+        # solve point fall back to the full redescent
+        sizes = dict(d=0, e=0, w=0, p=0, omega=int(lens.max()) if S else 0)
+        per_solve = {k: np.zeros(S, dtype=np.int64)
+                     for k in ("d", "e", "w", "p")}
+
+        def _upd(name, starts):
+            c = starts[1:] - starts[:-1]
+            if len(c):
+                sizes[name] = max(sizes[name], int(c.max()))
+                np.maximum(per_solve[name], c, out=per_solve[name])
+
+        levels_flat = []        # per level: dict of flat arrays
+        for li, lv in enumerate(plan.levels):
+            m = self.maps[li]
+            d_starts = starts_of(d_sid)
+            _upd("d", d_starts)
+            over |= (d_starts[1:] - d_starts[:-1]) > self.cap_d
+
+            e_all = m["elim_of_pair"][d_val] if len(d_val) else d_val
+            em = e_all >= 0
+            e_sid, e_val = d_sid[em], e_all[em]
+            e_starts = starts_of(e_sid)
+
+            u_all = m["u_of_pair"][d_val] if len(d_val) else d_val
+            um = u_all >= 0
+            uv_sid, uv_val = d_sid[um], u_all[um]
+
+            wf_sid, wf_val = expand(e_sid, e_val, m["u_start"])
+            w_sid, w_val = dedup(np.concatenate([uv_sid, wf_sid]),
+                                 np.concatenate([uv_val, wf_val]))
+            w_starts = starts_of(w_sid)
+
+            pa_sid, pa_val = expand(w_sid, w_val, m["pa_start"],
+                                    m["prods_by_pa"])
+            pb_sid, pb_val = expand(uv_sid, uv_val, m["pb_start"],
+                                    m["prods_by_pb"])
+            p_sid, p_val = dedup(np.concatenate([pa_sid, pb_sid]),
+                                 np.concatenate([pa_val, pb_val]))
+            p_starts = starts_of(p_sid)
+
+            _upd("e", e_starts)
+            _upd("w", w_starts)
+            _upd("p", p_starts)
+            over |= (e_starts[1:] - e_starts[:-1]) > self.cap_e
+            over |= (w_starts[1:] - w_starts[:-1]) > self.cap_w
+            over |= (p_starts[1:] - p_starts[:-1]) > self.cap_p
+
+            cd_all = m["carry_dst_of_pair"][d_val] if len(d_val) else d_val
+            cm = cd_all >= 0
+            c_sid = d_sid[cm]
+            c_dst = cd_all[cm]
+            c_pos_local = np.flatnonzero(cm) - d_starts[d_sid[cm]]
+
+            pd_val = (lv.p_dst[p_val] if len(p_val)
+                      else np.zeros(0, np.int64))
+            dn_sid, dn_val = dedup(np.concatenate([c_sid, p_sid]),
+                                   np.concatenate([c_dst, pd_val]))
+            dn_starts = starts_of(dn_sid)
+            c_seg = locate(dn_sid, dn_val, dn_starts, c_sid, c_dst,
+                           self.cap_d)
+            p_seg = locate(dn_sid, dn_val, dn_starts, p_sid, pd_val,
+                           self.cap_d)
+
+            levels_flat.append(dict(
+                d=(d_sid, d_val, d_starts), e=(e_sid, e_val, e_starts),
+                w=(w_sid, w_val, w_starts), p=(p_sid, p_val, p_starts),
+                c=(c_sid, c_pos_local, c_seg), p_seg=p_seg))
+            d_sid, d_val = dn_sid, dn_val
+
+        d_starts = starts_of(d_sid)
+        _upd("d", d_starts)
+        over |= (d_starts[1:] - d_starts[:-1]) > self.cap_d
+        bot_flat = (d_sid, d_val, d_starts)
+        self.last_batch_sizes = sizes
+        self.last_batch_per_solve = per_solve
+
+        # ---- pack into [S, L, ROW] with flat scatters -------------------
+        s = self._slots
+        tmpl = np.empty(self._row_len, dtype=np.int32)
+        fills = dict(d_pos=self.H_sink, e_diag=self.H_dummy,
+                     e_pos=self.C_sink, e_dpos=self.cap_d,
+                     w_usrc=self.H_dummy, w_celim=self.C_dummy,
+                     w_pos=self.W_sink, w_dpos=self.cap_d,
+                     w_epos=self.cap_e, p_wa=self.W_dummy,
+                     p_wapos=self.cap_w, p_ubsrc=self.H_dummy,
+                     p_ub_dpos=self.cap_d, p_pos=self.P_dummy,
+                     p_seg=self.cap_d, c_pos=self.cap_d, c_seg=self.cap_d)
+        for name, fill in fills.items():
+            lo, hi = s[name]
+            tmpl[lo:hi] = fill
+        buf_all = np.tile(tmpl, (S, max(L, 1), 1))
+
+        ROW = self._row_len
+        flat_view = buf_all.reshape(-1)
+
+        def put(li, name, sid, starts, vals):
+            if not len(vals):
+                return
+            lo, _hi = s[name]
+            rank = np.arange(len(sid)) - starts[sid]
+            idx = (sid * max(L, 1) + li) * ROW + lo + rank
+            flat_view[idx] = vals
+
+        for li, lv in enumerate(plan.levels):
+            f = levels_flat[li]
+            oh, oc, ow, op = (self.off_H[li], self.off_C[li],
+                              self.off_W[li], self.off_P[li])
+            d_sid_l, d_val_l, d_starts_l = f["d"]
+            e_sid_l, e_val_l, e_starts_l = f["e"]
+            w_sid_l, w_val_l, w_starts_l = f["w"]
+            p_sid_l, p_val_l, p_starts_l = f["p"]
+
+            if li > 0:
+                put(li, "d_pos", d_sid_l, d_starts_l, oh + d_val_l)
+
+            def dloc(q_sid, pairs):
+                if li == 0:
+                    return np.full(len(pairs), self.cap_d, dtype=np.int64)
+                return locate(d_sid_l, d_val_l, d_starts_l, q_sid, pairs,
+                              self.cap_d)
+
+            put(li, "e_diag", e_sid_l, e_starts_l,
+                oh + lv.elim_diag_idx[e_val_l])
+            put(li, "e_pos", e_sid_l, e_starts_l, oc + e_val_l)
+            put(li, "e_dpos", e_sid_l, e_starts_l,
+                dloc(e_sid_l, lv.elim_diag_idx[e_val_l]))
+            usrc = oh + lv.u_src[w_val_l]
+            usrc = np.where(lv.u_flip[w_val_l], -usrc - 1, usrc)
+            put(li, "w_usrc", w_sid_l, w_starts_l, usrc)
+            put(li, "w_celim", w_sid_l, w_starts_l, oc + lv.u_elim[w_val_l])
+            put(li, "w_pos", w_sid_l, w_starts_l, ow + w_val_l)
+            put(li, "w_dpos", w_sid_l, w_starts_l,
+                dloc(w_sid_l, lv.u_src[w_val_l]))
+            put(li, "w_epos", w_sid_l, w_starts_l,
+                locate(e_sid_l, e_val_l, e_starts_l, w_sid_l,
+                       lv.u_elim[w_val_l], self.cap_e))
+            put(li, "p_wa", p_sid_l, p_starts_l, ow + lv.pa[p_val_l])
+            put(li, "p_wapos", p_sid_l, p_starts_l,
+                locate(w_sid_l, w_val_l, w_starts_l, p_sid_l,
+                       lv.pa[p_val_l], self.cap_w))
+            ub = oh + lv.u_src[lv.pb[p_val_l]]
+            ub = np.where(lv.u_flip[lv.pb[p_val_l]], -ub - 1, ub)
+            put(li, "p_ubsrc", p_sid_l, p_starts_l, ub)
+            put(li, "p_ub_dpos", p_sid_l, p_starts_l,
+                dloc(p_sid_l, lv.u_src[lv.pb[p_val_l]]))
+            ppos = op + p_val_l
+            ppos = np.where(lv.p_flip[p_val_l], -ppos - 1, ppos)
+            put(li, "p_pos", p_sid_l, p_starts_l, ppos)
+            put(li, "p_seg", p_sid_l, p_starts_l, f["p_seg"])
+            c_sid_l, c_pos_l, c_seg_l = f["c"]
+            c_starts_l = starts_of(c_sid_l)
+            put(li, "c_pos", c_sid_l, c_starts_l, c_pos_l)
+            put(li, "c_seg", c_sid_l, c_starts_l, c_seg_l)
+
+        b_sid, b_val, b_starts = bot_flat
+        bot_sel_all = np.full((S, self.cap_d), self.KB, dtype=np.int32)
+        bot_h_all = np.full((S, self.cap_d), self.H_sink, dtype=np.int32)
+        if len(b_sid):
+            rank = np.arange(len(b_sid)) - b_starts[b_sid]
+            keep = rank < self.cap_d   # overflowed solves are dropped anyway
+            bot_sel_all[b_sid[keep], rank[keep]] = b_val[keep]
+            bot_h_all[b_sid[keep], rank[keep]] = \
+                self.off_H_bottom + b_val[keep]
+
+        # per-point seg into the level-0 dirty list (duplicates sum)
+        seg_flat = locate(d0_sid, d0_val, d0_starts, sid_flat, pos_flat, -1)
+
+        out = []
+        off = 0
+        n_over = int(np.count_nonzero(over))
+        self.n_overflows += n_over
+        for si in range(S):
+            n = lens[si]
+            if over[si]:
+                out.append(None)
+                off += n
+                continue
+            out.append((seg_flat[off:off + n], buf_all[si],
+                        bot_sel_all[si], bot_h_all[si]))
+            off += n
+        return out
 
     def _prepare(self, dirty_pos, dirty_vals, host_packed=_NOT_PREPARED):
         if host_packed is IncrementalCholesky._NOT_PREPARED:

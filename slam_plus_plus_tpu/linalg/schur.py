@@ -77,8 +77,18 @@ class SchurSolver:
         # and solve it with the nested MIS-Schur engine (the reference's
         # sparse blocky reduced solve, LinearSolver_Schur.h:1840-1849),
         # instead of densifying [Np*Bp]^2
+        # venice-real-class scenes (871 cams x 100k pts x 800k obs): the
+        # reduced system is small enough to densify, but the PANELS are not
+        # — [Nl*Bl, nred] at ~1% block density would be ~12.5 GB and the
+        # dense SC GEMM would spend >99% of its MXU passes on structural
+        # zeros.  Route low-density big-panel scenes through the
+        # block-sparse SC too (the reference's sparse blocky reduced solve,
+        # LinearSolver_Schur.h:1840-1849).
+        panel_gb = 2.0 * Nl * Bl * self.n_reduced * 4 / (1 << 30)
+        density = (asm.Kpl * Bp * Bl) / max(Nl * Bl * self.n_reduced, 1)
         self.sparse_reduced = (dense_reduced is not True and
-                               self.n_reduced > sparse_reduced_limit)
+                               (self.n_reduced > sparse_reduced_limit or
+                                (panel_gb > 2.0 and density < 0.05)))
         if self.sparse_reduced:
             self._build_sparse_reduced()
             self._solve_jit = jax.jit(self._solve_sparse_impl)
@@ -199,16 +209,64 @@ class SchurSolver:
         self._pp_off_mask = jnp.asarray(off.astype(np.float32))
         self._tperm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
 
+    def _pallas_panels_ok(self, dt) -> bool:
+        """The masked-broadcast Pallas panel kernel applies to single-
+        channel uniform layouts in f32 (the TPU deployment dtype);
+        SLAMPP_PALLAS_PANELS=0 forces the einsum path, =1 forces pallas
+        (interpret-mode on CPU, for tests)."""
+        import os
+        env = os.environ.get("SLAMPP_PALLAS_PANELS", "auto")
+        if env in ("0", "off"):
+            return False
+        chs = self._uniform_channels
+        ok = (len(chs) == 1 and "buckets" not in chs[0] and
+              dt == jnp.float32)
+        if env == "auto":
+            return ok and jax.default_backend() == "tpu"
+        return ok
+
+    def _uniform_panels_pallas(self, system, c_inv):
+        """Panel build via ops/pallas_panel (VPU mask-select; replaces the
+        ~7%-MXU one-hot einsum, the round-4 profile's dominant stage)."""
+        from slam_plus_plus_tpu.ops.pallas_panel import build_panels
+        asm = self.asm
+        Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
+        ch = self._uniform_channels[0]
+        M = ch["M"]
+        u4 = (system.pl_blocks[ch["offset"]:ch["offset"] + Nl * M]
+              .reshape(Nl, M, Bp, Bl).transpose(0, 1, 3, 2))
+        tile = 8
+        pad = (-Nl) % tile
+        rows = ch["rows"].astype(jnp.int32)
+        cinv = c_inv
+        if pad:
+            u4 = jnp.concatenate(
+                [u4, jnp.zeros((pad,) + u4.shape[1:], u4.dtype)])
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((pad, M), rows.dtype)])
+            cinv = jnp.concatenate(
+                [cinv, jnp.zeros((pad, Bl * Bl), cinv.dtype)])
+        interp = jax.default_backend() != "tpu"
+        Utp, Wtp = build_panels(u4, rows, cinv, Bl, Bp, Np,
+                                interpret=interp, tile=tile)
+        Ut = Utp[:, :Nl].transpose(1, 0, 2).reshape(Nl * Bl, self.n_reduced)
+        Wt = Wtp[:, :Nl].transpose(1, 0, 2).reshape(Nl * Bl, self.n_reduced)
+        return Ut, Wt
+
     def _uniform_panels(self, system):
         """(c_inv, Ut, Wt) from the uniform [Nl, M] pl layout — pure
-        reshapes + one-hot einsums, no O(Kpl) gathers.  Panels are
-        [Nl*Bl, nred] with rows (landmark, tangent) and columns flattened
-        camera dims; shared by the solve and the BA marginals recovery."""
+        reshapes + one-hot einsums (or the Pallas mask-select kernel), no
+        O(Kpl) gathers.  Panels are [Nl*Bl, nred] with rows (landmark,
+        tangent) and columns flattened camera dims; shared by the solve
+        and the BA marginals recovery."""
         asm = self.asm
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         nred = self.n_reduced
         dt = system.pp_blocks.dtype
         c_inv = planar.binv(system.ll_blocks, Bl)              # [Nl, Bl*Bl]
+        if self._pallas_panels_ok(dt):
+            Ut, Wt = self._uniform_panels_pallas(system, c_inv)
+            return c_inv, Ut, Wt
         u = system.pl_blocks
         Ut = jnp.zeros((Nl * Bl, nred), dtype=dt)
         for ch in self._uniform_channels:

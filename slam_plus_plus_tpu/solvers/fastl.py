@@ -110,12 +110,48 @@ class FastLSolver:
             len(asm.pp_rows))
         # pp pair index (assembler order) -> H0 position (plan order)
 
+        # program fingerprint for the persistent AOT export cache: must
+        # cover every constant baked into the traces — the lambda pattern,
+        # each edge type's contribution segments (connectivity), and dtype
+        from slam_plus_plus_tpu.utils.aot_cache import salt_arrays
+        self._aot_salt = salt_arrays(
+            asm.pp_rows, asm.pp_cols,
+            np.array([asm.Np, asm.Bp, min(asm.Np, bottom)]),
+            *[s for plan in asm.plans for (_a, _b, s, _w) in
+              plan.pp_contribs]) + f"|{np.dtype(asm.dtype)}"
+        asm.set_aot_salt(self._aot_salt)
+
         self._build_replay_plan()
         self._build_omega_kernels()
         if refresh == "dirty":
             from slam_plus_plus_tpu.linalg.incremental_cholesky import (
                 IncrementalCholesky)
-            self.inc = IncrementalCholesky(self.chol)
+            self.inc = IncrementalCholesky(self.chol,
+                                           aot_salt=self._aot_salt)
+            # the ENTIRE replay's reachability walks in one vectorized
+            # numpy pass (the solve schedule is host-static); run() then
+            # never walks on the critical path
+            keys = sorted(self._sched)
+            packed = self.inc.prepare_host_batch(
+                [self._sched[si] for si in keys])
+            # replay-sized capacities: the default caps pad every scan
+            # level to worst-case widths; the batch walk just measured the
+            # ACTUAL per-solve sizes over this replay, so rebuild + repack
+            # at the 97th percentile (rounded up) — the rare huge solve
+            # point overflows to the full redescent, which at ~6 ms is
+            # cheaper than paying its padding on every one of the other
+            # ~500 solve points
+            psz = self.inc.last_batch_per_solve
+            tight = {k: int(np.ceil((np.percentile(psz[k], 97) + 1) / 16)
+                            * 16)
+                     for k in ("d", "e", "w", "p")}
+            if any(tight[k] < getattr(self.inc, f"cap_{k}") - 16
+                   for k in tight):
+                self.inc = IncrementalCholesky(self.chol, caps=tight,
+                                               aot_salt=self._aot_salt)
+                packed = self.inc.prepare_host_batch(
+                    [self._sched[si] for si in keys])
+            self._prepared_all = dict(zip(keys, packed))
             self._build_fused1()
         else:
             self.inc = None
@@ -269,8 +305,10 @@ class FastLSolver:
                 eta0 = eta0.at[eta_slots].add(eta_vals)
                 return H0, eta0, scaled
 
-            self._omega_fns[plan.name] = jax.jit(omega,
-                                                 donate_argnums=(2, 3))
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            self._omega_fns[plan.name] = aot_jit(
+                omega, f"omega_{plan.name}", self._aot_salt,
+                donate_argnums=(2, 3))
             self._omega_bodies = getattr(self, "_omega_bodies", {})
             self._omega_bodies[plan.name] = omega
 
@@ -298,8 +336,10 @@ class FastLSolver:
                     dx = inc._solve_scan(out, eta0)
                     return out, eta0, dx, jnp.linalg.norm(dx)
 
-            self._fused1_fns[plan.name] = jax.jit(
-                fused1, donate_argnums=(0, 1))
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            self._fused1_fns[plan.name] = aot_jit(
+                fused1, f"fused1_{plan.name}", self._aot_salt,
+                donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
 
@@ -324,8 +364,93 @@ class FastLSolver:
                 return out
             # donation: activation runs once per NEW VERTEX (thousands per
             # replay); without it XLA copies every state array per call
-            self._act_fns[key] = jax.jit(act, donate_argnums=(0,))
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            self._act_fns[key] = aot_jit(act, f"act_{ename}_{slot}",
+                                         self._aot_salt,
+                                         donate_argnums=(0,))
         return self._act_fns[key](states, self.asm.edge_data, eidx)
+
+    # --- batched activation: between solve points nothing reads the new
+    # vertices' states, so arrivals are QUEUED and materialized right
+    # before the next dispatch as one lax.scan per same-(type,slot) run —
+    # the chain dependence (vertex k+1 initialized from vertex k's fresh
+    # state) is exactly the scan carry.  Replaces one jit dispatch per new
+    # vertex (~0.44 ms x thousands) with ~one per solve point.
+    _ACT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+    def _queue_activation(self, ename, slot, eidx) -> bool:
+        et = EDGE_TYPES[ename]
+        if et.jax_initializer is None:
+            return False
+        if not hasattr(self, "_act_queue"):
+            self._act_queue = []
+        self._act_queue.append((ename, slot, eidx))
+        return True
+
+    def _flush_activations(self, states):
+        q = getattr(self, "_act_queue", None)
+        if not q:
+            return states
+        if not hasattr(self, "_act_scan_fns"):
+            self._act_scan_fns = {}
+        i = 0
+        while i < len(q):
+            j = i + 1
+            while j < len(q) and q[j][:2] == q[i][:2]:
+                j += 1
+            ename, slot = q[i][:2]
+            idxs = np.array([e for (_en, _sl, e) in q[i:j]], dtype=np.int64)
+            while len(idxs):
+                cap = next(b for b in self._ACT_BUCKETS
+                           if b >= min(len(idxs), self._ACT_BUCKETS[-1]))
+                take = min(cap, len(idxs))
+                chunk = idxs[:take]
+                idxs = idxs[take:]
+                pad = np.concatenate(
+                    [chunk, np.full(cap - take, chunk[-1])])
+                valid = np.zeros(cap)
+                valid[:take] = 1.0
+                states = self._act_scan(ename, slot, cap)(
+                    states, self.asm.edge_data, pad, valid)
+            i = j
+        q.clear()
+        return states
+
+    def _act_scan(self, ename, slot, cap):
+        key = (ename, slot, cap)
+        if key not in self._act_scan_fns:
+            et = EDGE_TYPES[ename]
+
+            def act_run(states, edge_data, eidxs, valid,
+                        ename=ename, slot=slot, et=et):
+                data = edge_data[ename]
+                tname = et.vertex_types[slot]
+
+                def body(states, inp):
+                    eidx, v = inp
+                    gathered = tuple(
+                        states[t][data["slot_local"][k][eidx]]
+                        for k, t in enumerate(et.vertex_types))
+                    new = et.jax_initializer(gathered, data["z"][eidx],
+                                             slot)
+                    li = data["slot_local"][slot][eidx]
+                    old = states[tname][li]
+                    new = jnp.where(v > 0, new.astype(old.dtype), old)
+                    out = dict(states)
+                    out[tname] = states[tname].at[li].set(new)
+                    return out, None
+
+                states, _ = jax.lax.scan(
+                    body, states,
+                    (jnp.asarray(eidxs),
+                     jnp.asarray(valid, dtype=self.asm.dtype)))
+                return states
+
+            from slam_plus_plus_tpu.utils.aot_cache import aot_jit
+            self._act_scan_fns[key] = aot_jit(
+                act_run, f"actrun_{ename}_{slot}_{cap}", self._aot_salt,
+                donate_argnums=(0,))
+        return self._act_scan_fns[key]
 
     def _init_stores(self, states, counts, n_active):
         """(Re)build lambda at the current linearization and factor fully.
@@ -522,7 +647,11 @@ class FastLSolver:
         counts = {n: 0 for n in asm.edge_data}
 
         stores, eta0 = None, None
-        prepared: Dict[int, object] = {}   # pipelined prepare_host results
+        # all solve points' walks were packed at construction; the inline
+        # prepare_host below only runs for schedule deviations (none in
+        # practice — the simulation mirrors this loop exactly)
+        prepared: Dict[int, object] = dict(
+            getattr(self, "_prepared_all", {}))
         lin_dirty = True   # report with one-time dx unless a push lands last
         outstanding = False
         pending: List[tuple] = []   # (ename, li, new_mask)
@@ -539,7 +668,7 @@ class FastLSolver:
             ename, li = step["ename"], step["li"]
             new_mask = np.zeros(EDGE_TYPES[ename].arity)
             for (slot, gid) in step["new_vs"]:
-                states = self._activate(states, ename, slot, li)
+                self._queue_activation(ename, slot, li)
                 new_mask[slot] = 1.0
             counts[ename] += 1
             outstanding = outstanding or step["closure"]
@@ -550,6 +679,7 @@ class FastLSolver:
             last_nap = step["n_active"]
 
             if stores is None:
+                states = self._flush_activations(states)
                 stores, eta0 = self._init_stores(states, dict(counts),
                                                  step["n_active"])
                 pending.clear()
@@ -559,6 +689,7 @@ class FastLSolver:
             if not outstanding:
                 continue
             outstanding = False
+            states = self._flush_activations(states)
 
             # --- omega update of the maintained factorization (LAZY: the
             # factor between solves is never read, and omega deltas are
@@ -585,16 +716,16 @@ class FastLSolver:
                     # refactorization + solve in ONE dispatch
                     en, chunk, nmc, valid = chunks[0]
                     seg, buf, bot_sel, bot_h = hp
-                    dt = asm.dtype
+                    npdt = np.dtype(asm.dtype)
                     inner = {k: stores[k] for k in
                              ("H", "C", "W", "P", "dense", "L", "s", "sv",
                               "outer0")}
+                    # raw numpy args: jit converts them on its C++ fast
+                    # path; eager jnp.asarray per arg cost ~1.8 ms/solve
                     out, eta0, fdx, fnorm = self._fused1_fns[en](
                         inner, eta0, states, asm.edge_data,
-                        jnp.asarray(chunk), jnp.asarray(nmc, dtype=dt),
-                        jnp.asarray(valid, dtype=dt), jnp.asarray(seg),
-                        jnp.asarray(buf), jnp.asarray(bot_sel),
-                        jnp.asarray(bot_h))
+                        chunk, nmc.astype(npdt), valid.astype(npdt),
+                        seg, buf, bot_sel, bot_h)
                     stores.update(out)
                     stores["H0"] = out["H"]
                     fused_dx = (fdx, fnorm)
@@ -679,6 +810,7 @@ class FastLSolver:
                     self._sigma_pending.clear()
             n_solves += 1
 
+        states = self._flush_activations(states)
         # trailing pending edges (closure edges with no new vertex): refresh
         # the factorization so the final solution includes them
         if stores is not None and pending:

@@ -130,3 +130,68 @@ def test_fastl_inloop_marginals(tmp_path):
         got = diag[v].reshape(Bp, Bp)
         assert np.allclose(got, blk, rtol=1e-6, atol=1e-9 * abs(blk).max() +
                            1e-12), v
+
+
+def test_prepare_host_batch_matches_serial():
+    """The vectorized whole-replay walk must be bit-equal to the per-point
+    prepare_host (same seg/buf/bot arrays, same overflow decisions)."""
+    import numpy as np
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+    import tempfile, os
+    poses, edges = D.make_manhattan_2d(n_poses=600, seed=3, loop_prob=0.3)
+    p = os.path.join(tempfile.mkdtemp(), "m600.txt")
+    D.write_g2o_2d(p, edges, poses)
+    sv = FastLSolver(parse_g2o(p), every_n=1)
+    keys = sorted(sv._sched)
+    assert len(keys) > 20
+    batch = sv._prepared_all
+    for si in keys:
+        serial = sv.inc.prepare_host(sv._sched[si])
+        b = batch[si]
+        if serial is None:
+            assert b is None
+            continue
+        seg_s, buf_s, bots_s, both_s = serial
+        seg_b, buf_b, bots_b, both_b = b
+        assert np.array_equal(seg_s, seg_b), si
+        assert np.array_equal(buf_s, buf_b), si
+        assert np.array_equal(bots_s, bots_b), si
+        assert np.array_equal(both_s, both_b), si
+
+
+def test_full_scan_matches_unrolled():
+    """The bucketed-scan full redescent must reproduce the round-4
+    unrolled redescent (same stores, same solve)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+    import tempfile, os, jax
+    poses, edges = D.make_manhattan_2d(n_poses=500, seed=12, loop_prob=0.3)
+    p = os.path.join(tempfile.mkdtemp(), "m500.txt")
+    D.write_g2o_2d(p, edges, poses)
+    sv = FastLSolver(parse_g2o(p), every_n=1)
+    asm = sv.asm
+    states = asm.snapshot_states(sv.system)
+    counts = {n: sv.system.edge_stores[n].n for n in asm.edge_data}
+    bs = asm.assemble_active(states, counts, len(sv.system.vertex_order), 0)
+    H0 = bs.pp_blocks[sv.chol.plan.input_perm]
+    new = sv.inc._full_impl(H0)
+    old = jax.jit(sv.inc._full_impl_unrolled)(H0)
+    for k in ("H", "C", "W", "P", "dense", "L", "s", "sv", "outer0"):
+        a, b = np.asarray(new[k]), np.asarray(old[k])
+        if k in ("C", "W", "P", "H"):
+            a, b = a[:-1], b[:-1]   # sink rows differ (scratch)
+            if k == "C":
+                a, b = a[:-1], b[:-1]  # dummy stays zero in both
+        err = np.abs(a - b).max() if a.size else 0.0
+        scale = max(np.abs(b).max(), 1e-30)
+        assert err <= 1e-9 * scale, (k, err, scale)
+    # and the solve through the new stores matches
+    eta0 = bs.eta_p
+    dx_new = sv.inc.solve(dict(new), eta0)
+    dx_old = sv.inc.solve(dict(old), eta0)
+    assert np.allclose(np.asarray(dx_new), np.asarray(dx_old), atol=1e-8)
