@@ -35,6 +35,17 @@ TIMED_STEPS = 4
 
 
 def main():
+    from slam_plus_plus_tpu.utils.tpu_guard import TpuSessionLock
+
+    # serialize TPU clients (documented tunnel reconnect hangs).  Taken
+    # BEFORE jax initializes any backend — probing the backend would
+    # itself connect the tunnel, defeating the guard; uncontended
+    # acquisition costs nothing on CPU.
+    with TpuSessionLock():
+        _bench()
+
+
+def _bench():
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),

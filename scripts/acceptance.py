@@ -205,12 +205,33 @@ def main():
         with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
             json.dump(results, f, indent=1)
 
+    # tunnel hardening (documented reconnect hangs + transient Internal
+    # errors): serialize TPU clients via a machine lock, retry rows on
+    # transient backend failures
+    from contextlib import nullcontext
+    from slam_plus_plus_tpu.utils.tpu_guard import (TpuSessionLock,
+                                                    with_retries)
+    on_tpu = os.environ.get("SLAMPP_ACCEPT_BACKEND") == "tpu"
+    lock = TpuSessionLock() if on_tpu else nullcontext()
+
     results = []
-    for (name, ds, flags, runner, quick) in ROWS:
-        if args.quick and not quick:
-            continue
-        if args.rows and args.rows not in name:
-            continue
+    with lock:
+        for (name, ds, flags, runner, quick) in ROWS:
+            if args.quick and not quick:
+                continue
+            if args.rows and args.rows not in name:
+                continue
+            results.append(_run_row(name, ds, flags, runner, args,
+                                    on_tpu, flush_out, results))
+    print(json.dumps({"passed": sum(r["passed"] for r in results),
+                      "total": len(results)}))
+    if not all(r["passed"] for r in results):
+        sys.exit(1)
+
+
+def _run_row(name, ds, flags, runner, args, on_tpu, flush_out, results):
+    from slam_plus_plus_tpu.utils.tpu_guard import with_retries
+    if True:
         path = gen(ds)
         print(f"== {name}", flush=True)
         if args.no_ref:
@@ -219,7 +240,11 @@ def main():
             ref_chi2, ref_iters = run_reference(path, flags)
             print(f"   reference: chi2={ref_chi2:.2f} iters={ref_iters}",
                   flush=True)
-        chi2, iters, secs = runner(path)
+        if on_tpu:
+            chi2, iters, secs = with_retries(lambda: runner(path),
+                                             label=name)
+        else:
+            chi2, iters, secs = runner(path)
         if args.no_ref:
             ratio, ok = float("nan"), True
         else:
@@ -229,15 +254,12 @@ def main():
         print(f"   ours:      chi2={chi2:.2f} iters={iters} "
               f"({secs:.1f}s)  ratio={ratio:.4f}  "
               f"{'PASS' if ok else 'FAIL'}", flush=True)
-        results.append(dict(row=name, ref_chi2=ref_chi2,
-                            ref_iters=ref_iters, chi2=chi2, iters=iters,
-                            seconds=round(secs, 1), ratio=round(ratio, 4),
-                            passed=bool(ok)))
-        flush_out(results)
-    print(json.dumps({"passed": sum(r["passed"] for r in results),
-                      "total": len(results)}))
-    if not all(r["passed"] for r in results):
-        sys.exit(1)
+        row = dict(row=name, ref_chi2=ref_chi2,
+                   ref_iters=ref_iters, chi2=chi2, iters=iters,
+                   seconds=round(secs, 1), ratio=round(ratio, 4),
+                   passed=bool(ok))
+        flush_out(results + [row])
+        return row
 
 
 if __name__ == "__main__":

@@ -131,6 +131,13 @@ class IncrementalCholesky:
             np.concatenate([plan._bottom_off, [0.0]]))
         self._tperm = np.asarray(plan._tperm)
 
+        # level-0 pattern (== the full lambda pattern) for the f32
+        # iterative-refinement SpMV
+        self._rows0 = jnp.asarray(plan.rows0.astype(np.int32))
+        self._cols0 = jnp.asarray(plan.cols0.astype(np.int32))
+        self._offdiag0 = jnp.asarray(
+            (plan.rows0 != plan.cols0).astype(np.float32))
+
     def _set_caps(self, caps) -> None:
         # uniform per-level capacities (the scan body is one program).
         # Dirty sets stay small and nearly scale-free (a few dozen pairs
@@ -688,7 +695,7 @@ class IncrementalCholesky:
         with jax.default_matmul_precision("highest"):
             out = self._dirty_scan(stores, omega_vals, omega_seg, buf,
                                    bot_sel, bot_h)
-            dx = self._solve_scan(out, eta0)
+            dx = self.solve_scan_refined(out, eta0)
             return out, dx, jnp.linalg.norm(dx)
 
     def step(self, stores, eta0, dirty_pos: List[np.ndarray], dirty_vals,
@@ -1148,10 +1155,37 @@ class IncrementalCholesky:
 
         return x[:self.Nmax] * stores["sv"]
 
+    def _spmv0(self, stores, x):
+        """y = lambda x via the level-0 (raw, unscaled) pattern blocks."""
+        plan, B = self.plan, self.B
+        K0 = int(self.off_H[1]) if len(plan.levels) else self.KH
+        lam = stores["H"][:K0] / stores["outer0"][:K0]
+        yv = planar.bmv(lam, x[self._cols0], B, B)
+        y = jax.ops.segment_sum(yv, self._rows0, num_segments=plan.N)
+        ytv = planar.bmv_At(lam, x[self._rows0], B, B) * \
+            self._offdiag0[:, None].astype(x.dtype)
+        return y + jax.ops.segment_sum(ytv, self._cols0,
+                                       num_segments=plan.N)
+
+    def solve_scan_refined(self, stores, eta0):
+        """One Richardson refinement pass in f32: dx error drops from the
+        factor's rounding level (~1e-3 relative on long replays) to the
+        SpMV's (~1e-6), which keeps the REPLAY TRAJECTORY stable — the f32
+        push decisions (|dx| vs threshold) stop flipping against the f64
+        oracle.  Diagnosed on trees10k incr fastL (ratio 1.0947 from
+        decision flips over 4342 solve points, docs/ACCEPTANCE_TPU.md);
+        periodic redescents did NOT fix it because the factor was never
+        the problem.  f64 paths skip the extra work."""
+        dx = self._solve_scan(stores, eta0)
+        if dx.dtype != jnp.float32:
+            return dx
+        r = eta0 - self._spmv0(stores, dx)
+        return dx + self._solve_scan(stores, r)
+
     @_full_f32
     def _solve_only_impl(self, stores, eta0):
         with jax.default_matmul_precision("highest"):
-            dx = self._solve_scan(stores, eta0)
+            dx = self.solve_scan_refined(stores, eta0)
             return dx, jnp.linalg.norm(dx)
 
     def solve(self, stores, eta0):
@@ -1159,8 +1193,8 @@ class IncrementalCholesky:
         return dx
 
     def solve_with_norm(self, stores, eta0):
-        return self._solve_jit(
-            {k: stores[k] for k in ("C", "W", "L", "s", "sv")}, eta0)
+        keys = ("C", "W", "L", "s", "sv", "H", "outer0")
+        return self._solve_jit({k: stores[k] for k in keys}, eta0)
 
     # ------------------------------------------------------------------
 

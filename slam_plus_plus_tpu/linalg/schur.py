@@ -377,6 +377,14 @@ class SchurSolver:
                        for i in range(asm.Bp)]
 
     def _solve_sparse_impl(self, system):
+        # full-f32 pin: the formed SC feeds the MIS-Schur factorization,
+        # which needs an exactly-SPD input — TPU default f32 matmuls round
+        # through bf16 and corrupted lambda assembly the same way
+        # (docs/BENCH_NOTES.md round-4 root cause)
+        with jax.default_matmul_precision("highest"):
+            return self._solve_sparse_body(system)
+
+    def _solve_sparse_body(self, system):
         asm = self.asm
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         dt = system.pp_blocks.dtype

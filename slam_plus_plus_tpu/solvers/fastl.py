@@ -333,7 +333,7 @@ class FastLSolver:
                     inner["H"] = H
                     out = inc._dirty_scan(inner, scaled, omega_seg, buf,
                                           bot_sel, bot_h)
-                    dx = inc._solve_scan(out, eta0)
+                    dx = inc.solve_scan_refined(out, eta0)
                     return out, eta0, dx, jnp.linalg.norm(dx)
 
             from slam_plus_plus_tpu.utils.aot_cache import aot_jit
