@@ -85,6 +85,15 @@ def view_direction_transform(mean, sigma):
     return m4, H @ sigma @ H.T
 
 
+def mahalanobis_distance2(mean4, sigma4) -> float:
+    """Squared Mahalanobis distance of the zero-relative-pose hypothesis."""
+    d = np.asarray(mean4, float)
+    try:
+        return float(d @ np.linalg.solve(np.asarray(sigma4, float), d))
+    except np.linalg.LinAlgError:
+        return float("inf")
+
+
 def mahalanobis_gate(mean4, sigma4, threshold4) -> bool:
     """Probabilistic data-association test: is the zero-distance hypothesis
     within the gate?  (The compact-pose SLAM association test.)"""

@@ -247,10 +247,11 @@ class SchurSolver:
             cinv = jnp.concatenate(
                 [cinv, jnp.zeros((pad, Bl * Bl), cinv.dtype)])
         interp = jax.default_backend() != "tpu"
-        Utp, Wtp = build_panels(u4, rows, cinv, Bl, Bp, Np,
-                                interpret=interp, tile=tile)
-        Ut = Utp[:, :Nl].transpose(1, 0, 2).reshape(Nl * Bl, self.n_reduced)
-        Wt = Wtp[:, :Nl].transpose(1, 0, 2).reshape(Nl * Bl, self.n_reduced)
+        Ut, Wt = build_panels(u4, rows, cinv, Bl, Bp, Np,
+                              interpret=interp, tile=tile)
+        if pad:
+            Ut = Ut[:Nl * Bl]
+            Wt = Wt[:Nl * Bl]
         return Ut, Wt
 
     def _uniform_panels(self, system):

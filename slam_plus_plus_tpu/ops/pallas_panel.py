@@ -4,24 +4,23 @@ The dominant cost of the flagship BA iteration (round-4 profile: 9.04 ms of
 a 12 ms iteration) was the per-landmark one-hot panel einsum — 8000 batched
 [600x76]@[76x18] MXU passes at ~7% utilization (the contraction is tall and
 the result narrow, the worst shape for a 128x128 systolic array).  This
-kernel replaces those matmuls with VPU mask-selects: the panel accumulator
-tile lives in VMEM across the whole observation loop, each observation
-contributes `tiled * (camera_iota == row)` — elementwise work proportional
-to M * Bl * nred with zero HBM round-trips for the accumulator.
+kernel replaces those matmuls with VPU mask-selects: the panel accumulators
+live in VMEM across the whole observation loop, each observation
+contributes `value * (camera_iota == row)` — elementwise work proportional
+to M * Bl * Bp * n_cams with zero HBM round-trips for the accumulators.
 
-This fills the role of the reference's FBS-specialized Schur product kernels
-(reference include/slam/BlockMatrixFBS.h:40, LinearSolver_Schur.h:1744-1767
-and the cuSPARSE SpDGEMM GPU path, src/slam/LinearSolver_Schur_GPU.cpp:2190)
-— redesigned for the TPU memory hierarchy instead of ported.
+Mosaic layout rule learned the hard way: collapsing dimensions INTO the
+128-lane axis ("tpu.reshape (8,100,6)->(8,600)") is an unsupported shape
+cast — so the kernel keeps CAMERAS alone on the lane axis and puts the
+(landmark, tangent, cam-dim) product on sublanes, where reshapes are free.
+The [Bl, Nl*Bp, Ncam] output planes are rearranged to the GEMM panel
+layout [Nl*Bl, nred] by cheap XLA transposes outside the kernel.
 
-Layouts:
-  u4   [Nl, M, Bl, Bp]  per-landmark padded observation blocks, transposed
-                        so (l, p) index the block entry (dummy slots zero)
-  rows [Nl, M] int32    camera id per observation slot
-  cinv [Nl, Bl*Bl]      landmark pivot inverses
-  out  Ut, Wt [Bl, Nl, nred]  panel row-planes; row (l, c) holds landmark
-                        c's tangent-l row; W = C^-1-recombination of U is
-                        computed in-kernel (no second pass)
+This fills the role of the reference's FBS-specialized Schur product
+kernels (reference include/slam/BlockMatrixFBS.h:40,
+LinearSolver_Schur.h:1744-1767 and the cuSPARSE SpDGEMM GPU path,
+src/slam/LinearSolver_Schur_GPU.cpp:2190) — redesigned for the TPU memory
+hierarchy instead of ported.
 """
 
 from __future__ import annotations
@@ -33,23 +32,34 @@ import jax.numpy as jnp
 
 
 def _panel_kernel(u4_ref, rows_ref, cinv_ref, ut_ref, wt_ref, *,
-                  TL, M, Bl, Bp, n_cams):
-    nred = n_cams * Bp
-    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (TL, nred), 1) // Bp
+                  TL, M, Bl, Bp, NC):
+    """u4_ref [TL, M, Bl, Bp]; rows_ref [TL, M] int32 (camera per obs);
+    cinv_ref [TL, Bl*Bl]; outputs ut/wt [Bl, TL*Bp, NC] (NC lane-padded
+    camera count): out[l, c*Bp+p, cam] = panel entry (landmark c, tangent
+    l, camera cam, cam-dim p)."""
+    cam_iota = jax.lax.broadcasted_iota(jnp.int32, (TL * Bp, NC), 1)
 
-    acc = [jnp.zeros((TL, nred), dtype=u4_ref.dtype) for _ in range(Bl)]
+    acc = [jnp.zeros((TL * Bp, NC), dtype=u4_ref.dtype) for _ in range(Bl)]
     for m in range(M):
-        mask = rows_ref[:, m][:, None] == cam_iota          # [TL, nred]
+        # rows [TL] -> [TL*Bp, NC] (sublane repeat + lane broadcast)
+        r = rows_ref[:, m]
+        r3 = jnp.broadcast_to(r[:, None, None], (TL, Bp, NC))
+        mask = r3.reshape(TL * Bp, NC) == cam_iota
         for l in range(Bl):
-            x = u4_ref[:, m, l, :]                          # [TL, Bp]
-            tiled = jnp.broadcast_to(
-                x[:, None, :], (TL, n_cams, Bp)).reshape(TL, nred)
-            acc[l] = acc[l] + jnp.where(mask, tiled, 0.0)
+            x = u4_ref[:, m, l, :].reshape(TL * Bp)      # sublane collapse
+            acc[l] = acc[l] + jnp.where(
+                mask, jnp.broadcast_to(x[:, None], (TL * Bp, NC)), 0.0)
     for l in range(Bl):
         ut_ref[l, :, :] = acc[l]
-        w = acc[0] * cinv_ref[:, l * Bl + 0][:, None]
+        # W = C^-1-recombination per landmark; cinv column scalars repeat
+        # over the Bp sublane group and all lanes
+        def csc(k):
+            c = cinv_ref[:, l * Bl + k]
+            return jnp.broadcast_to(c[:, None, None],
+                                    (TL, Bp, NC)).reshape(TL * Bp, NC)
+        w = acc[0] * csc(0)
         for k in range(1, Bl):
-            w = w + acc[k] * cinv_ref[:, l * Bl + k][:, None]
+            w = w + acc[k] * csc(k)
         wt_ref[l, :, :] = w
 
 
@@ -57,24 +67,24 @@ def _panel_kernel(u4_ref, rows_ref, cinv_ref, ut_ref, wt_ref, *,
                    static_argnames=("Bl", "Bp", "n_cams", "interpret",
                                     "tile"))
 def build_panels(u4, rows, cinv, Bl, Bp, n_cams, interpret=False, tile=8):
-    """Returns (Ut, Wt) as [Bl, Nl, nred] row-planes.
+    """Returns (Ut, Wt) as [Nl*Bl, n_cams*Bp] GEMM panels.
 
-    Nl must be a multiple of `tile` (the assembler's uniform layout pads
-    landmark counts; callers pad or pick tile accordingly)."""
+    Nl must be a multiple of `tile` (callers pad; padded landmarks carry
+    zero blocks and contribute nothing)."""
     from jax.experimental import pallas as pl
 
     Nl, M = rows.shape
-    nred = n_cams * Bp
     dt = u4.dtype
     assert Nl % tile == 0, (Nl, tile)
     n_tiles = Nl // tile
+    NC = ((n_cams + 127) // 128) * 128   # lane-pad the camera axis
 
     kern = functools.partial(_panel_kernel, TL=tile, M=M, Bl=Bl, Bp=Bp,
-                             n_cams=n_cams)
-    out_shape = [jax.ShapeDtypeStruct((Bl, Nl, nred), dt),
-                 jax.ShapeDtypeStruct((Bl, Nl, nred), dt)]
-    out_spec = pl.BlockSpec((Bl, tile, nred), lambda i: (0, i, 0))
-    return pl.pallas_call(
+                             NC=NC)
+    out_shape = [jax.ShapeDtypeStruct((Bl, Nl * Bp, NC), dt),
+                 jax.ShapeDtypeStruct((Bl, Nl * Bp, NC), dt)]
+    out_spec = pl.BlockSpec((Bl, tile * Bp, NC), lambda i: (0, i, 0))
+    Utp, Wtp = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, M, Bl, Bp), lambda i: (i, 0, 0, 0)),
@@ -84,3 +94,10 @@ def build_panels(u4, rows, cinv, Bl, Bp, n_cams, interpret=False, tile=8):
         out_shape=out_shape,
         interpret=interpret,
     )(u4, rows, cinv)
+
+    def to_panel(P):
+        # [Bl, Nl*Bp, NC] -> [Nl*Bl, n_cams*Bp]
+        P = P[:, :, :n_cams].reshape(Bl, Nl, Bp, n_cams)
+        return P.transpose(1, 0, 3, 2).reshape(Nl * Bl, n_cams * Bp)
+
+    return to_panel(Utp), to_panel(Wtp)

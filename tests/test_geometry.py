@@ -126,3 +126,87 @@ def test_five_point_essential():
         Rd, td = decompose_essential(Eb, x1, x2)
         assert np.abs(Rd - R).max() < 1e-6
         assert np.abs(td / np.linalg.norm(td) - t).max() < 1e-6
+
+
+def test_polynomial_roots():
+    """Closed-form quadratic/cubic/quartic solvers vs numpy companion
+    roots (reference PolySolve.h CQuadraticEq/CCubicEq/CQuarticEq)."""
+    import numpy as np
+    from slam_plus_plus_tpu.geometry.polynomial import (
+        quadratic_roots, cubic_roots, quartic_roots, polish_roots,
+        roots_companion, polyfit_robust)
+
+    rng = np.random.default_rng(3)
+    # quadratics (batched)
+    a, b, c = rng.normal(size=(3, 64))
+    r, n = quadratic_roots(a, b, c)
+    r, n = np.asarray(r), np.asarray(n)
+    for i in range(64):
+        exact = np.sort(np.real(
+            [z for z in np.roots([a[i], b[i], c[i]]) if abs(z.imag) < 1e-9]))
+        got = np.sort(r[i][np.isfinite(r[i])])
+        assert len(got) == len(exact) == n[i]
+        if len(exact):
+            assert np.allclose(got, exact, atol=1e-6)
+
+    # cubics: always >= 1 real root
+    co = rng.normal(size=(4, 64))
+    co[0] += np.sign(co[0]) * 0.5  # keep leading coeff away from 0
+    r, n = cubic_roots(*co)
+    r = np.asarray(polish_roots(np.stack(co, axis=-1), r))
+    for i in range(64):
+        exact = np.sort(np.real([z for z in np.roots(co[:, i])
+                                 if abs(z.imag) < 1e-7]))
+        got = np.sort(r[i][np.isfinite(r[i])])
+        assert len(got) >= 1
+        # every returned root must be a true root
+        val = np.polyval(co[:, i], got)
+        assert np.all(np.abs(val) < 1e-5 * max(1, np.abs(co[:, i]).max()))
+
+    # quartics built from known real roots
+    for i in range(32):
+        roots_true = np.sort(rng.normal(size=4) * 2)
+        co4 = np.poly(roots_true)
+        r, n = quartic_roots(*co4)
+        r = np.asarray(polish_roots(co4, r))
+        got = np.sort(r[np.isfinite(r)])
+        assert len(got) == 4, (i, got, roots_true)
+        assert np.allclose(got, roots_true, atol=1e-5), (got, roots_true)
+
+    # companion fallback
+    z = roots_companion([1.0, 0, 0, 0, 0, -32.0])  # x^5 = 32
+    assert np.min(np.abs(z - 2.0)) < 1e-9
+
+    # robust polynomial fit: outliers suppressed by IRLS
+    x = np.linspace(-2, 2, 200)
+    y = 0.5 * x**3 - x + 2 + rng.normal(0, 0.01, 200)
+    y[::20] += 50.0  # gross outliers
+    chat = np.asarray(polyfit_robust(x, y, 3, loss="huber", scale=0.1))
+    assert np.allclose(chat, [0.5, 0.0, -1.0, 2.0], atol=0.05)
+    cls = np.asarray(polyfit_robust(x, y, 3))   # plain LS is polluted
+    assert abs(cls[3] - 2.0) > 0.3
+
+
+def test_struct_average():
+    """Rigid structure averaging (reference StructAverage.h): noisy rotated
+    observations of a structure average back to the centered original."""
+    import numpy as np
+    from slam_plus_plus_tpu.geometry.struct_average import (
+        average_structure_np)
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 3))
+    base -= base.mean(axis=0)
+    flat = []
+    for k in range(6):
+        R = Rotation.random(random_state=k).as_matrix()
+        t = rng.normal(size=3) * 5
+        flat.append(base @ R.T + t + rng.normal(0, 0.01, (40, 3)))
+    flat = np.concatenate(flat)
+    avg = average_structure_np(flat, 40)
+    # the average is in observation-0's frame, centered
+    R0 = Rotation.random(random_state=0).as_matrix()
+    expect = base @ R0.T
+    expect -= expect.mean(axis=0)
+    assert np.abs(avg - expect).max() < 0.02
