@@ -760,6 +760,9 @@ class IncrementalCholesky:
         to calling prepare_host per point.
         """
         S = len(dirty_pos_lists)
+        self.last_batch_sizes = dict(d=0, e=0, w=0, p=0, omega=0)
+        self.last_batch_per_solve = {k: np.zeros(S, dtype=np.int64)
+                                     for k in ("d", "e", "w", "p")}
         if S == 0:
             return []
         plan = self.plan

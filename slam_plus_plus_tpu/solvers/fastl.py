@@ -144,9 +144,9 @@ class FastLSolver:
             psz = self.inc.last_batch_per_solve
             tight = {k: int(np.ceil((np.percentile(psz[k], 97) + 1) / 16)
                             * 16)
-                     for k in ("d", "e", "w", "p")}
-            if any(tight[k] < getattr(self.inc, f"cap_{k}") - 16
-                   for k in tight):
+                     for k in ("d", "e", "w", "p")} if keys else {}
+            if keys and any(tight[k] < getattr(self.inc, f"cap_{k}") - 16
+                            for k in tight):
                 self.inc = IncrementalCholesky(self.chol, caps=tight,
                                                aot_salt=self._aot_salt)
                 packed = self.inc.prepare_host_batch(
