@@ -917,8 +917,14 @@ class IncrementalCholesky:
         def put(li, name, sid, starts, vals):
             if not len(vals):
                 return
-            lo, _hi = s[name]
+            lo, hi = s[name]
             rank = np.arange(len(sid)) - starts[sid]
+            # overflowed solve points exceed the slot width — they return
+            # None anyway, but their scatter must not spill into the NEXT
+            # solve's buffer (observed corrupting a neighboring replay)
+            keep = rank < (hi - lo)
+            if not keep.all():
+                sid, rank, vals = sid[keep], rank[keep],                     np.asarray(vals)[keep]
             idx = (sid * max(L, 1) + li) * ROW + lo + rank
             flat_view[idx] = vals
 
@@ -978,7 +984,7 @@ class IncrementalCholesky:
         bot_h_all = np.full((S, self.cap_d), self.H_sink, dtype=np.int32)
         if len(b_sid):
             rank = np.arange(len(b_sid)) - b_starts[b_sid]
-            keep = rank < self.cap_d   # overflowed solves are dropped anyway
+            keep = rank < self.cap_d   # overflow spill guard (see put)
             bot_sel_all[b_sid[keep], rank[keep]] = b_val[keep]
             bot_h_all[b_sid[keep], rank[keep]] = \
                 self.off_H_bottom + b_val[keep]

@@ -122,6 +122,23 @@ class FastLSolver:
         asm.set_aot_salt(self._aot_salt)
 
         self._build_replay_plan()
+
+        # native CPU replay (native/inc_engine.cpp): SE(2)/2D-landmark f64
+        # replays run as ONE C++ call over the same symbolic plan — the
+        # entire jax-side engine below is skipped (no tracing, no
+        # dispatches).  Unsupported configurations fall through to jax.
+        self._native = None
+        if refresh == "dirty":
+            from slam_plus_plus_tpu.solvers.native_engine import NativeReplay
+            self._native = NativeReplay.try_build(self)
+        if self._native is not None:
+            self.inc = None
+            self.stats = {}
+            self.marginals_trace = []
+            self._sigma_diag = None
+            self._sigma_pending = []
+            return
+
         self._build_omega_kernels()
         if refresh == "dirty":
             from slam_plus_plus_tpu.linalg.incremental_cholesky import (
@@ -640,6 +657,15 @@ class FastLSolver:
 
     def run(self, verbose: bool = False):
         """Replay all edges with FastL semantics; returns (chi2, iters)."""
+        if self._native is not None:
+            t0 = time.perf_counter()
+            chi2, iters, stats = self._native.run()
+            self.elapsed = time.perf_counter() - t0
+            stats["elapsed"] = self.elapsed
+            self.stats = stats
+            if verbose:
+                print(f"fastl (native) done: {self.stats}")
+            return chi2, iters
         t0 = time.perf_counter()
         asm = self.asm
         states = asm.snapshot_states(self.system)

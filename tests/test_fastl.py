@@ -132,18 +132,8 @@ def test_fastl_inloop_marginals(tmp_path):
                            1e-12), v
 
 
-def test_prepare_host_batch_matches_serial():
-    """The vectorized whole-replay walk must be bit-equal to the per-point
-    prepare_host (same seg/buf/bot arrays, same overflow decisions)."""
+def _check_batch_vs_serial(sv):
     import numpy as np
-    from slam_plus_plus_tpu.io import datasets as D
-    from slam_plus_plus_tpu.io.parser import parse_g2o
-    from slam_plus_plus_tpu.solvers.fastl import FastLSolver
-    import tempfile, os
-    poses, edges = D.make_manhattan_2d(n_poses=600, seed=3, loop_prob=0.3)
-    p = os.path.join(tempfile.mkdtemp(), "m600.txt")
-    D.write_g2o_2d(p, edges, poses)
-    sv = FastLSolver(parse_g2o(p), every_n=1)
     keys = sorted(sv._sched)
     assert len(keys) > 20
     batch = sv._prepared_all
@@ -161,6 +151,77 @@ def test_prepare_host_batch_matches_serial():
         assert np.array_equal(both_s, both_b), si
 
 
+def test_prepare_host_batch_matches_serial():
+    """The vectorized whole-replay walk must be bit-equal to the per-point
+    prepare_host (same seg/buf/bot arrays, same overflow decisions) — on a
+    pose graph AND on a landmark replay with capacity-overflow solve points
+    (an overflowed solve's scatter once spilled into its NEIGHBOR's packed
+    buffer: reference-exact 49.65 became 12016 on lm800)."""
+    import os, tempfile
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+    os.environ["SLAMPP_NATIVE"] = "0"
+    try:
+        d = tempfile.mkdtemp()
+        poses, edges = D.make_manhattan_2d(n_poses=600, seed=3,
+                                           loop_prob=0.3)
+        p = os.path.join(d, "m600.txt")
+        D.write_g2o_2d(p, edges, poses)
+        _check_batch_vs_serial(FastLSolver(parse_g2o(p), every_n=1))
+        gp, gl, pe, le = D.make_landmark_2d(n_poses=800, n_landmarks=100,
+                                            world=30.0, obs_radius=8.0,
+                                            seed=7)
+        p2 = os.path.join(d, "lm800.txt")
+        D.write_g2o_landmark_2d(p2, pe, le)
+        sv = FastLSolver(parse_g2o(p2), every_n=1)
+        assert any(v is None for v in sv._prepared_all.values()), \
+            "dataset must exercise the overflow path"
+        _check_batch_vs_serial(sv)
+    finally:
+        os.environ.pop("SLAMPP_NATIVE", None)
+
+
+def test_native_engine_matches_reference_trajectory():
+    """The native C++ replay engine must reproduce the jax engine (and the
+    reference binary) exactly on pose-graph and landmark replays."""
+    import os, tempfile
+    import numpy as np
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+    from slam_plus_plus_tpu.solvers.native_engine import NativeReplay
+    d = tempfile.mkdtemp()
+    cases = []
+    poses, edges = D.make_manhattan_2d(n_poses=600, seed=3, loop_prob=0.3)
+    p = os.path.join(d, "m600.txt")
+    D.write_g2o_2d(p, edges, poses)
+    cases.append(p)
+    gp, gl, pe, le = D.make_landmark_2d(n_poses=500, n_landmarks=80,
+                                        world=25.0, obs_radius=8.0, seed=9)
+    p2 = os.path.join(d, "lm500.txt")
+    D.write_g2o_landmark_2d(p2, pe, le)
+    cases.append(p2)
+    for path in cases:
+        os.environ["SLAMPP_NATIVE"] = "0"
+        sj = FastLSolver(parse_g2o(path), every_n=1)
+        cj, ij = sj.run()
+        os.environ.pop("SLAMPP_NATIVE", None)
+        sn = FastLSolver(parse_g2o(path), every_n=1)
+        assert sn._native is not None
+        cn, i_n = sn.run()
+        assert i_n == ij, (path, i_n, ij)
+        assert abs(cn - cj) <= 1e-6 * max(abs(cj), 1.0), (path, cn, cj)
+        # and lambda-mode (onetime_dx=False) agreement
+        os.environ["SLAMPP_NATIVE"] = "0"
+        sjl = FastLSolver(parse_g2o(path), every_n=1, onetime_dx=False)
+        cjl, ijl = sjl.run()
+        os.environ.pop("SLAMPP_NATIVE", None)
+        snl = FastLSolver(parse_g2o(path), every_n=1, onetime_dx=False)
+        cnl, inl = snl.run()
+        assert inl == ijl and abs(cnl - cjl) <= 1e-6 * max(abs(cjl), 1.0)
+
+
 def test_full_scan_matches_unrolled():
     """The bucketed-scan full redescent must reproduce the round-4
     unrolled redescent (same stores, same solve)."""
@@ -173,7 +234,11 @@ def test_full_scan_matches_unrolled():
     poses, edges = D.make_manhattan_2d(n_poses=500, seed=12, loop_prob=0.3)
     p = os.path.join(tempfile.mkdtemp(), "m500.txt")
     D.write_g2o_2d(p, edges, poses)
-    sv = FastLSolver(parse_g2o(p), every_n=1)
+    os.environ["SLAMPP_NATIVE"] = "0"   # exercise the jax engine
+    try:
+        sv = FastLSolver(parse_g2o(p), every_n=1)
+    finally:
+        os.environ.pop("SLAMPP_NATIVE", None)
     asm = sv.asm
     states = asm.snapshot_states(sv.system)
     counts = {n: sv.system.edge_stores[n].n for n in asm.edge_data}
