@@ -689,6 +689,15 @@ class FastLSolver:
         n_full = 0
         n_steps_applied = 0
         omega_since_full = 0
+        # f32 deployments: lambda itself accumulates thousands of f32
+        # scatter-adds between pushes; on 10k-pose replays the drift
+        # eventually corrupts the factor (city10k on-chip diverged to 1e16
+        # chi2).  Periodically RE-ASSEMBLE lambda at the frozen
+        # linearization — exact math is unchanged (same states => same
+        # lambda), it only discards accumulated rounding, unlike the
+        # round-4 factor-only redescents that could not fix drifted input.
+        reassemble_every = (256 if asm.dtype == jnp.float32 else 0)
+        solves_since_rebuild = 0
 
         for si, step in enumerate(self.steps):
             ename, li = step["ename"], step["li"]
@@ -725,6 +734,16 @@ class FastLSolver:
             fused_dx = None
             if pending and self.config.marginals.enabled:
                 self._sigma_pending.extend(pending)
+            if (reassemble_every and
+                    solves_since_rebuild >= reassemble_every):
+                # exact f32 drift cleanup (see above): rebuild lambda +
+                # factor from states/counts; pending edges are already in
+                # counts, so they are absorbed by the rebuild
+                stores, eta0 = self._init_stores(states, dict(counts),
+                                                 step["n_active"])
+                pending.clear()
+                n_full += 1
+                solves_since_rebuild = 0
             if pending:
                 n_pending = len(pending)
                 chunks = (self._pending_chunks(pending)
@@ -813,6 +832,7 @@ class FastLSolver:
                                                  step["n_active"])
                 n_full += 1
                 omega_since_full = 0
+                solves_since_rebuild = 0
 
             # --- marginals maintained in the loop (MarginalsPolicy):
             # after a push the linearization moved -> recurrent recompute
