@@ -130,38 +130,47 @@ def _bench():
     print(f"chi2 after {TIMED_STEPS} steps: {final_chi2:.1f} "
           f"(reference converged: {REF_FINAL_CHI2:.1f})", file=sys.stderr)
 
-    # --- incremental metric (round-4 VERDICT ask): a small FastL replay on
-    # the same backend, per-applied-step time + chi2 parity recorded in the
-    # JSON extras.  Reference same-machine wall for this workload class:
-    # manhattan3500 -nsp 1 -fL = 1.49 s (534 solves, measured 2026-08-21).
+    # --- incremental metric (round-4 VERDICT ask): a manhattan FastL
+    # replay on the DEPLOYMENT backend for incremental workloads — the
+    # native C++ engine on CPU (the round-5 crossover measurement shows
+    # the chip never wins this workload class: per-solve-point |dx| syncs
+    # + tiny-op profiles; docs/BENCH_NOTES.md).  Run in a subprocess so
+    # this process's TPU backend is untouched.  Reference binary on the
+    # same machine/file: manhattan3500 -nsp 1 -fL = 1.49 s (534 solves).
     inc_extra = {}
     try:
-        from slam_plus_plus_tpu.io.datasets import (make_manhattan_2d,
-                                                    write_g2o_2d)
-        from slam_plus_plus_tpu.solvers.fastl import FastLSolver
-        ipath = "/tmp/bench_fastl_600_3.txt"
-        if not os.path.exists(ipath):
-            poses, edges = make_manhattan_2d(n_poses=600, seed=3)
-            write_g2o_2d(ipath, edges, poses)
-        t0 = time.perf_counter()
-        fl = FastLSolver(parse_g2o(ipath), every_n=1)
-        ichi2, _ = fl.run()
-        iel = time.perf_counter() - t0
-        # warm replay: the second solver's programs load from the
-        # persistent cache, so this measures the steady per-step rate
-        # rather than trace+compile
-        t0 = time.perf_counter()
-        fl2 = FastLSolver(parse_g2o(ipath), every_n=1)
-        ichi2b, _ = fl2.run()
-        iel2 = time.perf_counter() - t0
-        inc_extra = {
-            "fastl_m600_wall_s": round(iel, 1),
-            "fastl_m600_warm_wall_s": round(iel2, 1),
-            "fastl_m600_warm_ms_per_applied_step": round(
-                iel2 / max(fl2.stats["omega_steps"], 1) * 1000.0, 2),
-            "fastl_m600_chi2": round(float(ichi2b), 2),
-        }
-        print(f"fastl m600: {inc_extra}", file=sys.stderr)
+        import json as _json
+        import subprocess
+        code = r"""
+import json, os, sys, time
+sys.path.insert(0, %r)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import slam_plus_plus_tpu.models
+from slam_plus_plus_tpu.io.datasets import make_manhattan_2d, write_g2o_2d
+from slam_plus_plus_tpu.io.parser import parse_g2o
+from slam_plus_plus_tpu.solvers.fastl import FastLSolver
+ipath = '/tmp/bench_fastl_3500_101.txt'
+if not os.path.exists(ipath):
+    poses, edges = make_manhattan_2d(n_poses=3500, seed=101, loop_prob=0.3)
+    write_g2o_2d(ipath, edges, poses)
+t0 = time.perf_counter()
+s = parse_g2o(ipath)
+fl = FastLSolver(s, every_n=1)
+chi2, iters = fl.run()
+el = time.perf_counter() - t0
+print(json.dumps(dict(
+    fastl_m3500_wall_s=round(el, 2),
+    fastl_m3500_ms_per_applied_step=round(
+        el / max(fl.stats.get('omega_steps', 1), 1) * 1000.0, 2),
+    fastl_m3500_chi2=round(float(chi2), 2),
+    fastl_native=bool(fl._native is not None))))
+""" % os.path.dirname(os.path.abspath(__file__))
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=600)
+        inc_extra = _json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"fastl m3500 (cpu deployment): {inc_extra}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — the headline metric still prints
         print(f"fastl bench skipped: {e}", file=sys.stderr)
 
