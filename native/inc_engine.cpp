@@ -125,6 +125,9 @@ struct Engine {
 
   // stats
   i64 n_pushes = 0, n_full = 0, n_solves = 0, total_iters = 0;
+
+  // reusable solve buffers (avoid per-solve allocation at 10k+ scale)
+  std::vector<std::vector<double>> sv_etaE, sv_lvl;
 };
 
 // ---------- small-block helpers (B x B planar) ----------
@@ -598,15 +601,22 @@ static void dirty_refactor(Engine *e) {
 static void solve(Engine *e, std::vector<double> &dx) {
   i64 B = e->B, BB = e->BB;
   // descend
-  std::vector<std::vector<double>> etaE(e->L);
-  std::vector<double> cur(e->eta);  // [n_level0, B] with level-0 ids = cslots
+  if (e->sv_etaE.empty()) {
+    e->sv_etaE.resize(e->L);
+    e->sv_lvl.resize(e->L + 1);
+  }
+  auto &etaE = e->sv_etaE;
+  std::vector<double> &cur0 = e->sv_lvl[0];
+  cur0 = e->eta;
   for (i64 l = 0; l < e->L; l++) {
     Level &lv = e->levels[l];
+    std::vector<double> &cur = e->sv_lvl[l];
     etaE[l].assign(lv.n_elim * B, 0.0);
     for (i64 i = 0; i < lv.n_elim; i++)
       std::memcpy(&etaE[l][i * B], &cur[lv.elim_orig[i] * B],
                   sizeof(double) * B);
-    std::vector<double> nxt(lv.n_next * B);
+    std::vector<double> &nxt = e->sv_lvl[l + 1];
+    nxt.resize(lv.n_next * B);
     for (i64 i = 0; i < lv.n_next; i++)
       std::memcpy(&nxt[i * B], &cur[lv.rest_orig[i] * B], sizeof(double) * B);
     for (i64 u = 0; u < lv.Ku; u++) {
@@ -619,17 +629,18 @@ static void solve(Engine *e, std::vector<double> &dx) {
         dst[i] -= s;
       }
     }
-    cur.swap(nxt);
   }
-  // bottom
-  bottom_solve(e, cur.data());
-  // ascend
+  // bottom (operate on the deepest level buffer)
+  bottom_solve(e, e->sv_lvl[e->L].data());
+  // ascend: x for level l+1 lives in sv_lvl[l+1]; rebuild into sv_lvl[l]
+  static thread_local std::vector<double> xe;
   for (i64 l = e->L - 1; l >= 0; l--) {
     Level &lv = e->levels[l];
+    std::vector<double> &cur = e->sv_lvl[l + 1];
     std::vector<double> up(lv.n * B, 0.0);
     for (i64 i = 0; i < lv.n_next; i++)
       std::memcpy(&up[lv.rest_orig[i] * B], &cur[i * B], sizeof(double) * B);
-    std::vector<double> xe(lv.n_elim * B);
+    xe.assign(lv.n_elim * B, 0.0);
     for (i64 i = 0; i < lv.n_elim; i++) {
       const double *Ci = &lv.Cinv[i * BB];
       const double *ee = &etaE[l][i * B];
@@ -651,9 +662,9 @@ static void solve(Engine *e, std::vector<double> &dx) {
     }
     for (i64 i = 0; i < lv.n_elim; i++)
       std::memcpy(&up[lv.elim_orig[i] * B], &xe[i * B], sizeof(double) * B);
-    cur.swap(up);
+    e->sv_lvl[l].swap(up);
   }
-  dx.swap(cur);
+  dx = e->sv_lvl[0];
 }
 
 // apply one edge's omega contribution at current states into H0/eta,
