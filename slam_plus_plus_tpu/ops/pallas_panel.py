@@ -31,35 +31,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _panel_kernel(u4_ref, rows_ref, cinv_ref, ut_ref, wt_ref, *,
+def _panel_kernel(u4e_ref, rows_ref, cinv_ref, ut_ref, wt_ref, *,
                   TL, M, Bl, Bp, NC):
-    """u4_ref [TL, M, Bl, Bp]; rows_ref [TL, M] int32 (camera per obs);
-    cinv_ref [TL, Bl*Bl]; outputs ut/wt [Bl, TL*Bp, NC] (NC lane-padded
-    camera count): out[l, c*Bp+p, cam] = panel entry (landmark c, tangent
-    l, camera cam, cam-dim p)."""
+    """All inputs pre-expanded to the [row = (landmark, cam-dim)] sublane
+    layout so every in-kernel op is a 2-D column-broadcast (Mosaic rejects
+    broadcasts/reshapes that touch the 128-lane axis — both the
+    lane-collapse and the 3-D mid-dim broadcast failed infer-vector-layout
+    on real hardware):
+      u4e_ref  [TL*Bp, M*Bl]   entry ((c,p), (m,l)) = u[c,m] block (l,p)
+      rows_ref [TL*Bp, M] i32  camera id, repeated over the Bp rows
+      cinv_ref [TL*Bp, Bl*Bl]  pivot inverse, repeated over the Bp rows
+      ut/wt    [Bl, TL*Bp, NC] panel row-planes (NC = lane-padded cams)."""
     cam_iota = jax.lax.broadcasted_iota(jnp.int32, (TL * Bp, NC), 1)
 
-    acc = [jnp.zeros((TL * Bp, NC), dtype=u4_ref.dtype) for _ in range(Bl)]
+    acc = [jnp.zeros((TL * Bp, NC), dtype=u4e_ref.dtype) for _ in range(Bl)]
     for m in range(M):
-        # rows [TL] -> [TL*Bp, NC] (sublane repeat + lane broadcast)
-        r = rows_ref[:, m]
-        r3 = jnp.broadcast_to(r[:, None, None], (TL, Bp, NC))
-        mask = r3.reshape(TL * Bp, NC) == cam_iota
+        mask = rows_ref[:, m:m + 1] == cam_iota          # [TL*Bp, NC]
         for l in range(Bl):
-            x = u4_ref[:, m, l, :].reshape(TL * Bp)      # sublane collapse
-            acc[l] = acc[l] + jnp.where(
-                mask, jnp.broadcast_to(x[:, None], (TL * Bp, NC)), 0.0)
+            x = u4e_ref[:, m * Bl + l:m * Bl + l + 1]    # [TL*Bp, 1]
+            acc[l] = acc[l] + jnp.where(mask, x, 0.0)
     for l in range(Bl):
         ut_ref[l, :, :] = acc[l]
-        # W = C^-1-recombination per landmark; cinv column scalars repeat
-        # over the Bp sublane group and all lanes
-        def csc(k):
-            c = cinv_ref[:, l * Bl + k]
-            return jnp.broadcast_to(c[:, None, None],
-                                    (TL, Bp, NC)).reshape(TL * Bp, NC)
-        w = acc[0] * csc(0)
+        w = acc[0] * cinv_ref[:, l * Bl:l * Bl + 1]
         for k in range(1, Bl):
-            w = w + acc[k] * csc(k)
+            w = w + acc[k] * cinv_ref[:, l * Bl + k:l * Bl + k + 1]
         wt_ref[l, :, :] = w
 
 
@@ -79,6 +74,13 @@ def build_panels(u4, rows, cinv, Bl, Bp, n_cams, interpret=False, tile=8):
     n_tiles = Nl // tile
     NC = ((n_cams + 127) // 128) * 128   # lane-pad the camera axis
 
+    # pre-expand to the (landmark, cam-dim) sublane layout (cheap XLA
+    # transposes/repeats; see _panel_kernel docstring)
+    u4e = (u4.transpose(0, 3, 1, 2)                       # [Nl, Bp, M, Bl]
+           .reshape(Nl * Bp, M * Bl))
+    rows_e = jnp.repeat(rows, Bp, axis=0)                 # [Nl*Bp, M]
+    cinv_e = jnp.repeat(cinv, Bp, axis=0)                 # [Nl*Bp, Bl*Bl]
+
     kern = functools.partial(_panel_kernel, TL=tile, M=M, Bl=Bl, Bp=Bp,
                              NC=NC)
     out_shape = [jax.ShapeDtypeStruct((Bl, Nl * Bp, NC), dt),
@@ -87,13 +89,13 @@ def build_panels(u4, rows, cinv, Bl, Bp, n_cams, interpret=False, tile=8):
     Utp, Wtp = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((tile, M, Bl, Bp), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((tile, M), lambda i: (i, 0)),
-                  pl.BlockSpec((tile, Bl * Bl), lambda i: (i, 0))],
+        in_specs=[pl.BlockSpec((tile * Bp, M * Bl), lambda i: (i, 0)),
+                  pl.BlockSpec((tile * Bp, M), lambda i: (i, 0)),
+                  pl.BlockSpec((tile * Bp, Bl * Bl), lambda i: (i, 0))],
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(u4, rows, cinv)
+    )(u4e, rows_e, cinv_e)
 
     def to_panel(P):
         # [Bl, Nl*Bp, NC] -> [Nl*Bl, n_cams*Bp]
