@@ -210,20 +210,20 @@ class SchurSolver:
         self._tperm = [i * Bp + j for j in range(Bp) for i in range(Bp)]
 
     def _pallas_panels_ok(self, dt) -> bool:
-        """The masked-broadcast Pallas panel kernel applies to single-
-        channel uniform layouts in f32 (the TPU deployment dtype);
-        SLAMPP_PALLAS_PANELS=0 forces the einsum path, =1 forces pallas
-        (interpret-mode on CPU, for tests)."""
+        """The masked-broadcast Pallas panel kernel (ops/pallas_panel.py)
+        — DEFAULT OFF after on-chip measurement: the Mosaic-safe
+        formulation needs the (landmark, cam-dim) sublane expansion, which
+        multiplies the VPU work by Bp and lands at 17.0 ms vs the one-hot
+        MXU einsum's 7.7 ms on the bench scene (v5e, 2026-08-21).  Kept
+        (with interpret-mode parity tests) as the documented exploration;
+        SLAMPP_PALLAS_PANELS=1 opts in."""
         import os
-        env = os.environ.get("SLAMPP_PALLAS_PANELS", "auto")
-        if env in ("0", "off"):
+        env = os.environ.get("SLAMPP_PALLAS_PANELS", "0")
+        if env in ("0", "off", "auto"):
             return False
         chs = self._uniform_channels
-        ok = (len(chs) == 1 and "buckets" not in chs[0] and
-              dt == jnp.float32)
-        if env == "auto":
-            return ok and jax.default_backend() == "tpu"
-        return ok
+        return (len(chs) == 1 and "buckets" not in chs[0] and
+                dt == jnp.float32)
 
     def _uniform_panels_pallas(self, system, c_inv):
         """Panel build via ops/pallas_panel (VPU mask-select; replaces the
