@@ -322,9 +322,19 @@ class FastLSolver:
                 eta0 = eta0.at[eta_slots].add(eta_vals)
                 return H0, eta0, scaled
 
+            def omega_pinned(*args, omega=omega):
+                # full-f32 pin: TPU default f32 matmuls round the jacfwd
+                # products through bf16; on the STANDALONE omega path
+                # (multi-chunk pendings — loop-heavy graphs) the corrupted
+                # contributions accumulated into lambda and diverged the
+                # city10k on-chip replay to 1e16 chi2.  The fused1 path
+                # was already pinned; CPU-f32 replays converge fine.
+                with jax.default_matmul_precision("highest"):
+                    return omega(*args)
+
             from slam_plus_plus_tpu.utils.aot_cache import aot_jit
             self._omega_fns[plan.name] = aot_jit(
-                omega, f"omega_{plan.name}", self._aot_salt,
+                omega_pinned, f"omega_{plan.name}", self._aot_salt,
                 donate_argnums=(2, 3))
             self._omega_bodies = getattr(self, "_omega_bodies", {})
             self._omega_bodies[plan.name] = omega
