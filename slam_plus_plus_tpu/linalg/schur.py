@@ -377,6 +377,24 @@ class SchurSolver:
         self._tperm = [i * asm.Bp + j for j in range(asm.Bp)
                        for i in range(asm.Bp)]
 
+        # uniform-layout clique fast path (venice-real profile, v5e: the
+        # w and pair-product GATHERS cost 112 + 205 ms/solve at 800k/3.6M
+        # rows — TPU gathers are ~11 ns/row regardless of locality).  With
+        # the single-channel uniform [Nl, M] layout every gather becomes a
+        # reshape/broadcast and the pair products one batched per-landmark
+        # clique einsum [M*Bp, Bl] @ [Bl, M*Bp]; the existing
+        # _fill_dst/_fill_flip arrays already enumerate the same
+        # landmark-major triu order (np.triu_indices over uniform degree).
+        self._clique_uniform = None
+        ch = getattr(asm, "pl_uniform", None)
+        if (ch and len(ch) == 1 and len(np.unique(counts)) == 1 and
+                int(counts[0]) == int(ch[0]["M"]) and
+                np.array_equal(order, np.arange(len(order)))):
+            M = int(ch[0]["M"])
+            ii, jj = np.triu_indices(M)
+            self._clique_uniform = dict(
+                M=M, triu=jnp.asarray((ii * M + jj).astype(np.int32)))
+
     def _solve_sparse_impl(self, system):
         # full-f32 pin: the formed SC feeds the MIS-Schur factorization,
         # which needs an exactly-SPD input — TPU default f32 matmuls round
@@ -389,17 +407,37 @@ class SchurSolver:
         asm = self.asm
         Np, Bp, Nl, Bl = asm.Np, asm.Bp, asm.Nl, asm.Bl
         dt = system.pp_blocks.dtype
+        cu = self._clique_uniform
         c_inv = planar.binv(system.ll_blocks, Bl)
         u = system.pl_blocks
-        w = planar.bmm(u, c_inv[self._pl_cols_dev], Bp, Bl, Bl)
-        w_eta = planar.bmv(w, system.eta_l[self._pl_cols_dev], Bp, Bl)
+        if cu is not None:
+            # gather-free: c_inv/eta_l broadcast over the uniform M slots
+            M = cu["M"]
+            ci_rep = jnp.broadcast_to(
+                c_inv[:, None, :], (Nl, M, Bl * Bl)).reshape(Nl * M,
+                                                             Bl * Bl)
+            w = planar.bmm(u, ci_rep, Bp, Bl, Bl)
+            eta_rep = jnp.broadcast_to(
+                system.eta_l[:, None, :], (Nl, M, Bl)).reshape(Nl * M, Bl)
+            w_eta = planar.bmv(w, eta_rep, Bp, Bl)
+        else:
+            w = planar.bmm(u, c_inv[self._pl_cols_dev], Bp, Bl, Bl)
+            w_eta = planar.bmv(w, system.eta_l[self._pl_cols_dev], Bp, Bl)
         rhs_p = system.eta_p - jax.ops.segment_sum(
             w_eta, self._pl_rows_dev, num_segments=Np)
 
         sc = jnp.zeros((self.Ksc, Bp * Bp), dtype=dt)
         sc = sc.at[self._pp_to_sc].set(system.pp_blocks)
-        prod = planar.bmm_A_Bt(w[self._fill_pa], u[self._fill_pb],
-                               Bp, Bl, Bp)
+        if cu is not None:
+            M = cu["M"]
+            W4 = w.reshape(Nl, M, Bp, Bl)
+            U4 = u.reshape(Nl, M, Bp, Bl)
+            clique = jnp.einsum("cmil,cnjl->cmnij", W4, U4)
+            prod = (clique.reshape(Nl, M * M, Bp * Bp)[:, cu["triu"]]
+                    .reshape(-1, Bp * Bp))
+        else:
+            prod = planar.bmm_A_Bt(w[self._fill_pa], u[self._fill_pb],
+                                   Bp, Bl, Bp)
         prod = jnp.where(self._fill_flip[:, None],
                          planar.btranspose(prod, Bp, Bp), prod)
         sc = sc - jax.ops.segment_sum(prod, self._fill_dst,
@@ -407,8 +445,11 @@ class SchurSolver:
         dx_p = self._reduced_chol._factor_solve_impl(sc, rhs_p)
 
         ut_dx = planar.bmv_At(u, dx_p[self._pl_rows_dev], Bp, Bl)
-        rhs_l = system.eta_l - jax.ops.segment_sum(
-            ut_dx, self._pl_cols_dev, num_segments=Nl)
+        if cu is not None:
+            rhs_l = system.eta_l - ut_dx.reshape(Nl, cu["M"], Bl).sum(1)
+        else:
+            rhs_l = system.eta_l - jax.ops.segment_sum(
+                ut_dx, self._pl_cols_dev, num_segments=Nl)
         dx_l = planar.bmv(c_inv, rhs_l, Bl, Bl)
         return dx_p, dx_l
 

@@ -129,3 +129,40 @@ def test_degree_bucketed_panels_match(tmp_path):
     dxp2, dxl2 = sch2.solve(bs)
     assert np.abs(np.asarray(dxp) - np.asarray(dxp2)).max() < 1e-12
     assert np.abs(np.asarray(dxl) - np.asarray(dxl2)).max() < 1e-12
+
+
+def test_sparse_reduced_clique_fast_path(tmp_path):
+    """The uniform-layout clique einsum (gather-free pair products) must
+    reproduce the generic gathered sparse-reduced solve."""
+    import numpy as np
+    import slam_plus_plus_tpu.models
+    from slam_plus_plus_tpu.io import datasets as D
+    from slam_plus_plus_tpu.io.parser import parse_g2o
+    from slam_plus_plus_tpu.assembly.assembler import Assembler
+    from slam_plus_plus_tpu.config import SolverConfig
+    from slam_plus_plus_tpu.linalg.schur import SchurSolver
+
+    cams, pts, obs = D.make_ba_scene_large(n_cams=24, n_points=400,
+                                           obs_per_point=6, seed=5)
+    p = str(tmp_path / "clq.txt")
+    D.write_g2o_ba(p, cams, pts, obs)
+    s = parse_g2o(p)
+    asm = Assembler(s, SolverConfig())
+    states = asm.snapshot_states(s)
+    bs = asm.assemble(states)
+    from slam_plus_plus_tpu.solvers.lm import damp_system
+    bs = damp_system(bs, float(bs.max_hdiag) * 1e-3, asm.pp_diag_ids_dev)
+
+    sch = SchurSolver(asm, sparse_reduced_limit=1)  # force sparse path
+    assert sch.sparse_reduced
+    assert sch._clique_uniform is not None, "uniform clique must engage"
+    dx_p1, dx_l1 = sch._solve_jit(bs)
+
+    sch._clique_uniform = None                    # generic gathered path
+    import jax
+    dx_p2, dx_l2 = jax.jit(sch._solve_sparse_impl)(bs)
+    scale = max(float(np.abs(np.asarray(dx_p2)).max()), 1e-9)
+    assert np.allclose(np.asarray(dx_p1), np.asarray(dx_p2),
+                       atol=1e-8 * scale)
+    assert np.allclose(np.asarray(dx_l1), np.asarray(dx_l2),
+                       atol=1e-6 * max(float(np.abs(np.asarray(dx_l2)).max()), 1e-9))
