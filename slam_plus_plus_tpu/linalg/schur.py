@@ -429,19 +429,35 @@ class SchurSolver:
         sc = jnp.zeros((self.Ksc, Bp * Bp), dtype=dt)
         sc = sc.at[self._pp_to_sc].set(system.pp_blocks)
         if cu is not None:
+            # chunked over landmarks: the full clique tensor
+            # [Nl, M, M, Bp*Bp] is ~0.9 GB at venice-real scale and tipped
+            # HBM over capacity by 75 MB — each chunk's triu products
+            # segment-sum straight into sc (fill_dst is landmark-major, so
+            # chunk slices are contiguous)
             M = cu["M"]
-            W4 = w.reshape(Nl, M, Bp, Bl)
-            U4 = u.reshape(Nl, M, Bp, Bl)
-            clique = jnp.einsum("cmil,cnjl->cmnij", W4, U4)
-            prod = (clique.reshape(Nl, M * M, Bp * Bp)[:, cu["triu"]]
-                    .reshape(-1, Bp * Bp))
+            T = M * (M + 1) // 2
+            nch = max(1, -(-Nl // 25000))
+            CL = -(-Nl // nch)
+            flip = self._fill_flip.reshape(Nl, T)
+            dstv = self._fill_dst.reshape(Nl, T)
+            for c0 in range(0, Nl, CL):
+                c1 = min(c0 + CL, Nl)
+                W4 = w.reshape(Nl, M, Bp, Bl)[c0:c1]
+                U4 = u.reshape(Nl, M, Bp, Bl)[c0:c1]
+                clique = jnp.einsum("cmil,cnjl->cmnij", W4, U4)
+                pr = (clique.reshape(c1 - c0, M * M, Bp * Bp)
+                      [:, cu["triu"]].reshape(-1, Bp * Bp))
+                pr = jnp.where(flip[c0:c1].reshape(-1)[:, None],
+                               planar.btranspose(pr, Bp, Bp), pr)
+                sc = sc - jax.ops.segment_sum(
+                    pr, dstv[c0:c1].reshape(-1), num_segments=self.Ksc)
         else:
             prod = planar.bmm_A_Bt(w[self._fill_pa], u[self._fill_pb],
                                    Bp, Bl, Bp)
-        prod = jnp.where(self._fill_flip[:, None],
-                         planar.btranspose(prod, Bp, Bp), prod)
-        sc = sc - jax.ops.segment_sum(prod, self._fill_dst,
-                                      num_segments=self.Ksc)
+            prod = jnp.where(self._fill_flip[:, None],
+                             planar.btranspose(prod, Bp, Bp), prod)
+            sc = sc - jax.ops.segment_sum(prod, self._fill_dst,
+                                          num_segments=self.Ksc)
         dx_p = self._reduced_chol._factor_solve_impl(sc, rhs_p)
 
         ut_dx = planar.bmv_At(u, dx_p[self._pl_rows_dev], Bp, Bl)
