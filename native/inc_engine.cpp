@@ -63,7 +63,7 @@ struct Level {
 
   // scratch dirty bookkeeping
   std::vector<i64> stampD, posD;       // [K]
-  std::vector<i64> stampE, stampW, stampP;
+  std::vector<i64> stampE, stampP;   // epoch stamps (W marks reuse stampE)
 };
 
 struct VType {
