@@ -60,7 +60,8 @@ class FastLSolver:
                  refresh: str = "dirty",
                  full_refresh_interval: int = 0,
                  bottom: int = 32,
-                 onetime_dx: bool = True):
+                 onetime_dx: bool = True,
+                 use_native: bool = True):
         """onetime_dx=False selects the reference LAMBDA solver's incremental
         reporting semantics: chi2/solution are evaluated at the last pushed
         linearization with no trailing one-time dx (the lambda solver's
@@ -128,7 +129,7 @@ class FastLSolver:
         # entire jax-side engine below is skipped (no tracing, no
         # dispatches).  Unsupported configurations fall through to jax.
         self._native = None
-        if refresh == "dirty":
+        if refresh == "dirty" and use_native:
             from slam_plus_plus_tpu.solvers.native_engine import NativeReplay
             self._native = NativeReplay.try_build(self)
         if self._native is not None:

@@ -98,9 +98,12 @@ class OnlineFastLSolver:
             system.add_edge(self.edge_type, [v, v + 1], z0, info0)
             self._chain_li[v + 1] = system.edge_stores[self.edge_type].n - 1
 
+        # the online engine drives the jax-side internals (_apply_pending,
+        # inc.step) directly — opt out of the native whole-replay path
         fs = FastLSolver(system, every_n=self.every_n,
                          max_iterations=self.max_iterations,
-                         dx_threshold=self.dx_threshold, config=self.config)
+                         dx_threshold=self.dx_threshold, config=self.config,
+                         use_native=False)
         self.fs = fs
         # carry the optimized states over from the previous engine
         if hasattr(self, "_host_states"):
