@@ -69,8 +69,23 @@ def main():
                          sch._reduced_chol._factor_solve_impl(sc, rhs))
         t("reduced MIS factor+solve (871 cams)",
           lambda: f_fact(sc, bs.eta_p))
-        t("full sparse schur solve", lambda: sch.solve(bs))
-        print(f"Ksc={sch.Ksc} fill_pairs={len(sch._fill_pa)}", flush=True)
+        import numpy as _np
+        f_solve = jax.jit(sch._solve_sparse_impl)
+        def run_solve():
+            return f_solve(bs)
+        t("full sparse schur solve (clique path)", run_solve)
+        # LM iteration end-to-end (damp + solve + update + chi2)
+        from slam_plus_plus_tpu.solvers.lm import damp_system
+        def lm_iter():
+            b2 = asm.assemble(states)
+            b2 = damp_system(b2, b2.max_hdiag * 1e-3, asm.pp_diag_ids_dev)
+            dxp, dxl = f_solve(b2)
+            st2 = asm.update(states, dxp, dxl)
+            return asm.chi2(st2)
+        t("LM-iteration equivalent (assemble+damp+solve+update+chi2)",
+          lm_iter, n=5)
+        print(f"Ksc={sch.Ksc} fill_pairs={len(sch._fill_pa)} "
+              f"clique={sch._clique_uniform is not None}", flush=True)
 
 
 if __name__ == "__main__":

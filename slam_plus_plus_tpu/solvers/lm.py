@@ -70,6 +70,27 @@ class LevenbergMarquardtSolver(GaussNewtonSolver):
         if verbose:
             print(f"alpha: {alpha:f}\ninitial chi2: {last_error:f}")
 
+        # fused LM trial (BA/Schur problems): damp + solve + push + trial
+        # re-assembly + the rho scalars in ONE dispatch with ONE host sync
+        # — on the remote TPU each extra sync costs a ~26 ms tunnel round
+        # trip and the unfused loop paid 3-4 per iteration (venice-real:
+        # 344 ms/iter recorded vs 188 ms for the fused equivalent)
+        fused_trial = None
+        if self._schur is not None:
+            def _trial(states, base, alpha):
+                damped = damp_system(base, alpha, asm.pp_diag_ids_dev)
+                dx_p, dx_l = self._schur.solve_impl(damped)
+                dx_norm = jnp.sqrt(jnp.sum(dx_p * dx_p) +
+                                   jnp.sum(dx_l * dx_l))
+                new_states = asm._update_impl(states, dx_p, dx_l)
+                new_sys = asm._finalize(*asm._edge_sums(new_states,
+                                                        asm.edge_data))
+                denom = (jnp.sum(dx_p * (alpha * dx_p + base.eta_p)) +
+                         jnp.sum(dx_l * (alpha * dx_l + base.eta_l)))
+                return new_states, new_sys, dx_norm, new_sys.chi2, denom
+
+            fused_trial = jax.jit(_trial)
+
         n_iters = 0
         it = 0
         while it < max_iterations:
@@ -77,27 +98,40 @@ class LevenbergMarquardtSolver(GaussNewtonSolver):
             n_iters += 1
             if base is None:
                 base = asm.assemble(states)
-            damped = damp_system(base, jnp.asarray(alpha, dtype=asm.dtype),
-                                 asm.pp_diag_ids_dev)
-            dx_p, dx_l = self._solve(damped)
-            dx_norm = float(jnp.sqrt(jnp.sum(dx_p * dx_p) + jnp.sum(dx_l * dx_l)))
-            if not np.isfinite(dx_norm):
-                break
-            if dx_norm <= dx_threshold:
-                break  # reference: break before pushing (Lambda_LM.h:1054)
+            alpha_dev = jnp.asarray(alpha, dtype=asm.dtype)
+            if fused_trial is not None:
+                new_states, new_sys, norm_d, err_d, den_d = fused_trial(
+                    states, base, alpha_dev)
+                dx_norm = float(norm_d)
+                if not np.isfinite(dx_norm):
+                    break
+                if dx_norm <= dx_threshold:
+                    break  # reference: break before pushing (Lambda_LM.h:1054)
+                saved_states = states
+                states = new_states
+                error = float(err_d)
+                denom = float(den_d)
+            else:
+                damped = damp_system(base, alpha_dev, asm.pp_diag_ids_dev)
+                dx_p, dx_l = self._solve(damped)
+                dx_norm = float(jnp.sqrt(jnp.sum(dx_p * dx_p) +
+                                         jnp.sum(dx_l * dx_l)))
+                if not np.isfinite(dx_norm):
+                    break
+                if dx_norm <= dx_threshold:
+                    break  # reference: break before pushing (Lambda_LM.h:1054)
 
-            saved_states = states
-            states = asm.update(states, dx_p, dx_l)
-            new_sys = asm.assemble(states)
-            error = float(new_sys.chi2)
+                saved_states = states
+                states = asm.update(states, dx_p, dx_l)
+                new_sys = asm.assemble(states)
+                error = float(new_sys.chi2)
+                # rho denominator: dx . (alpha dx + eta)  (Lambda_LM.h:207)
+                denom = float(
+                    jnp.sum(dx_p * (alpha * dx_p + base.eta_p)) +
+                    jnp.sum(dx_l * (alpha * dx_l + base.eta_l)))
             if verbose:
                 print(f"iter {it - 1}: chi2: {error:f} |dx|={dx_norm:.6f} "
                       f"alpha={alpha:g}")
-
-            # rho denominator: dx . (alpha dx + eta)  (Lambda_LM.h:207)
-            denom = float(
-                jnp.sum(dx_p * (alpha * dx_p + base.eta_p)) +
-                jnp.sum(dx_l * (alpha * dx_l + base.eta_l)))
             rho = (last_error - error) / denom if denom != 0.0 else -1.0
             if rho > 0:
                 alpha *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
