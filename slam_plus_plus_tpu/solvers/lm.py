@@ -75,8 +75,8 @@ class LevenbergMarquardtSolver(GaussNewtonSolver):
         # — on the remote TPU each extra sync costs a ~26 ms tunnel round
         # trip and the unfused loop paid 3-4 per iteration (venice-real:
         # 344 ms/iter recorded vs 188 ms for the fused equivalent)
-        fused_trial = None
-        if self._schur is not None:
+        fused_trial = getattr(self, "_lm_trial_jit", None)
+        if fused_trial is None and self._schur is not None:
             def _trial(states, base, alpha):
                 damped = damp_system(base, alpha, asm.pp_diag_ids_dev)
                 dx_p, dx_l = self._schur.solve_impl(damped)
@@ -89,7 +89,7 @@ class LevenbergMarquardtSolver(GaussNewtonSolver):
                          jnp.sum(dx_l * (alpha * dx_l + base.eta_l)))
                 return new_states, new_sys, dx_norm, new_sys.chi2, denom
 
-            fused_trial = jax.jit(_trial)
+            fused_trial = self._lm_trial_jit = jax.jit(_trial)
 
         n_iters = 0
         it = 0
