@@ -102,15 +102,16 @@ class LevenbergMarquardtSolver(GaussNewtonSolver):
             if fused_trial is not None:
                 new_states, new_sys, norm_d, err_d, den_d = fused_trial(
                     states, base, alpha_dev)
-                dx_norm = float(norm_d)
+                # ONE host sync for all three scalars (each separate
+                # float() costs a tunnel round trip)
+                dx_norm, error, denom = map(float, jax.device_get(
+                    (norm_d, err_d, den_d)))
                 if not np.isfinite(dx_norm):
                     break
                 if dx_norm <= dx_threshold:
                     break  # reference: break before pushing (Lambda_LM.h:1054)
                 saved_states = states
                 states = new_states
-                error = float(err_d)
-                denom = float(den_d)
             else:
                 damped = damp_system(base, alpha_dev, asm.pp_diag_ids_dev)
                 dx_p, dx_l = self._solve(damped)
