@@ -91,10 +91,15 @@ class IncrementalSolver:
         self._delegate = None
         if mode == "lambda" and every_n and allow_fused:
             from slam_plus_plus_tpu.models.types import VERTEX_TYPES
-            has_split = any(
-                VERTEX_TYPES[t].schur_class == "landmark" and st.n > 0
+            # delegate pose-graph AND landmark-SLAM replays (the
+            # mixed-class engine is exact for both: manhattan 1705.99
+            # @534, landmark 24.65 @166 == the legacy Schur path); keep
+            # the legacy path for BA-class systems, where padding cameras
+            # into the mixed class wastes Bp^2
+            small_blocks = all(
+                VERTEX_TYPES[t].tangent_dim <= 6 or st.n == 0
                 for t, st in system.vertex_stores.items())
-            if not has_split:
+            if small_blocks:
                 from slam_plus_plus_tpu.solvers.fastl import FastLSolver
                 self._delegate = FastLSolver(
                     system, every_n=every_n, max_iterations=max_iterations,
