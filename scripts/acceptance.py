@@ -156,6 +156,8 @@ ROWS = [
      ["-us", "-,\\lm"], lambda p: ours_batch(p, "lm", 5), False),
     ("manhattan3500 incr lambda -nsp 1", "manhattan3500", ["-po", "-nsp", "1"],
      lambda p: ours_incremental(p, "lambda"), False),
+    ("city10k incr lambda -nsp 1", "city10k", ["-po", "-nsp", "1"],
+     lambda p: ours_incremental(p, "lambda"), False),
     ("manhattan3500 incr fastL -nsp 1", "manhattan3500",
      ["-po", "-nsp", "1", "-fL"],
      lambda p: ours_incremental(p, "fastl"), False),
