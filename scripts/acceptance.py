@@ -124,6 +124,12 @@ def gen(name):
         poses, edges = D.make_manhattan_2d(n_poses=800, seed=105,
                                            loop_prob=0.4)
         D.write_g2o_2d(path, edges, poses)
+    elif name == "garage3d":
+        # parking-garage class (SE3 helix + inter-floor closures); the
+        # reference's GN and fastL both DIVERGE on this family (see
+        # docs/ACCEPTANCE.md notes) — LM is the parity configuration
+        gt, edges = D.make_garage_3d(seed=9)
+        D.write_g2o_3d_axisangle(path, edges)
     elif name == "ba_venice_class":
         cams, pts, obs = D.make_ba_scene(n_cams=100, n_points=8000, seed=77)
         D.write_g2o_ba(path, cams, pts, obs)
@@ -146,6 +152,9 @@ ROWS = [
      lambda p: ours_batch(p, "gn", 5), True),
     ("sphere2500 batch (LM)", "sphere2500", ["-po", "-,\\lm", "-mfnsi", "30"],
      lambda p: ours_batch(p, "lm", 30), True),
+    ("garage-class SE(3) batch (LM)", "garage3d",
+     ["-po", "-,\\lm", "-mfnsi", "20"],
+     lambda p: ours_batch(p, "lm", 20), True),
     ("trees10k batch (landmarks)", "trees10k", [],
      lambda p: ours_batch(p, "gn", 5), True),
     ("w100K batch -po", "w100k", ["-po"],

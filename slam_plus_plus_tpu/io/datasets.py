@@ -670,3 +670,51 @@ def write_g2o_ba_mixed(path, cams, points, mono_obs, stereo_obs,
             if cid >= n_mono:
                 f.write(f"EDGE_PROJECT_P2SC {intr_id + 1 + pid} {cid} "
                         f"{ul:.10f} {vl:.10f} {ur:.10f} 1 0 0 1 0 1\n")
+
+
+def make_garage_3d(n_loops=8, per_loop=200, climb=0.02, radius=8.0,
+                   trans_noise=0.01, rot_noise=0.005, seed=9):
+    """Parking-garage-class SE(3) pose graph (reference regression family
+    `parking-garage.g2o`, scripts/tests/unit_tests.sh:170-175,256-262): a
+    helical ramp with vertical loop closures between consecutive floors,
+    interleaved with the odometry.  Returns (gt_poses [n,6], edges) with
+    edges (i, j, z[6] axis-angle relative pose)."""
+    import jax.numpy as _jnp
+    from slam_plus_plus_tpu.manifolds import se3 as _se3
+    rng = np.random.default_rng(seed)
+    n = n_loops * per_loop
+    gt = []
+    for k in range(n):
+        th = 2 * np.pi * (k % per_loop) / per_loop
+        pos = np.array([radius * np.cos(th), radius * np.sin(th),
+                        climb * k])
+        gt.append(np.concatenate([pos, [0.0, 0.0, th + np.pi / 2]]))
+    gt = np.array(gt)
+
+    def rel(a, b):
+        return np.array(_se3.relative_to(_jnp.asarray(a), _jnp.asarray(b)))
+
+    edges = []
+    for k in range(1, n):
+        z = rel(gt[k - 1], gt[k])
+        z[:3] += rng.normal(0, trans_noise, 3)
+        z[3:] += rng.normal(0, rot_noise, 3)
+        edges.append((k - 1, k, z))
+        if k >= per_loop and k % 10 == 0:
+            j = k - per_loop
+            z = rel(gt[j], gt[k])
+            z[:3] += rng.normal(0, trans_noise, 3)
+            z[3:] += rng.normal(0, rot_noise, 3)
+            edges.append((j, k, z))
+    return gt, edges
+
+
+def write_g2o_3d_axisangle(path, edges, info_scale=100.0):
+    """EDGE3:AXISANGLE dialect writer (identity*scale information)."""
+    info = np.eye(6) * info_scale
+    with open(path, "w") as f:
+        for (i, j, z) in edges:
+            up = " ".join(f"{info[a][b]:.1f}"
+                          for a in range(6) for b in range(a, 6))
+            zs = " ".join(f"{v:.9f}" for v in z)
+            f.write(f"EDGE3:AXISANGLE {i} {j} {zs} {up}\n")
